@@ -1,0 +1,101 @@
+"""Speech encoder: stacked (bi)directional RNNs with temporal subsampling.
+
+Re-design of the reference encoder (``lvsr/bricks/__init__.py:21-83``:
+``RecurrentWithFork`` + ``Encoder`` with ``input_[::take_each]`` between
+layers).  TPU-first details:
+
+* Layout is batch-major ``(B, T, F)`` at the API boundary; the scan runs
+  time-major internally.
+* The per-layer input fork is one big batched matmul over the whole
+  sequence (runs on the MXU, outside the sequential scan).
+* The backward direction flips inputs and mask along time; padded frames
+  (mask 0) leave the state untouched, so flipping the zero-padded tail to
+  the front is equivalent to the reference's ``go_backwards`` scan.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from attention_lvcsr_tpu.models.cells import make_cell
+
+
+class RecurrentWithFork(nn.Module):
+    """Fork the input into the cell's sequence projections, then scan."""
+    transition: str
+    dim: int
+
+    def setup(self):
+        self.cell = make_cell(self.transition, self.dim, name="cell")
+        self.fork = {
+            name: nn.Dense(d, name=f"fork_{name}")
+            for name, d in self.cell.sequence_dims().items()
+        }
+
+    def __call__(self, x, mask=None):
+        # x: (B, T, F) -> (B, T, dim)
+        seqs = {name: proj(x).transpose(1, 0, 2)
+                for name, proj in self.fork.items()}
+        tmask = mask.transpose(1, 0) if mask is not None else None
+        out = self.cell.scan(seqs, mask=tmask)
+        main_state = self.cell.state_names[0]
+        return out[main_state].transpose(1, 0, 2)
+
+
+class Bidirectional(nn.Module):
+    """Forward + time-flipped backward pass, concatenated features."""
+    transition: str
+    dim: int
+
+    def setup(self):
+        self.forward = RecurrentWithFork(self.transition, self.dim,
+                                         name="forward")
+        self.backward = RecurrentWithFork(self.transition, self.dim,
+                                          name="backward")
+
+    def __call__(self, x, mask=None):
+        fwd = self.forward(x, mask)
+        x_rev = jnp.flip(x, axis=1)
+        mask_rev = jnp.flip(mask, axis=1) if mask is not None else None
+        bwd = jnp.flip(self.backward(x_rev, mask_rev), axis=1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class Encoder(nn.Module):
+    """Stack of (bi)directional recurrent layers with subsampling.
+
+    Parameters mirror the reference ``Encoder``: ``dims`` per layer,
+    ``subsample`` strides applied to the layer output (and mask), ``bidir``.
+    """
+    transition: str
+    dims: Sequence[int]
+    subsample: Sequence[int]
+    bidir: bool = True
+
+    def setup(self):
+        layers = []
+        for i, dim in enumerate(self.dims):
+            if self.bidir:
+                layers.append(Bidirectional(self.transition, dim,
+                                            name=f"bidir{i}"))
+            else:
+                layers.append(RecurrentWithFork(self.transition, dim,
+                                                name=f"with_fork{i}"))
+        self.layers = layers
+
+    @property
+    def dim_encoded(self):
+        return (2 if self.bidir else 1) * self.dims[-1]
+
+    def __call__(self, x, mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # x: (B, T, F); mask: (B, T)
+        for layer, take_each in zip(self.layers, self.subsample):
+            x = layer(x, mask)
+            x = x[:, ::take_each]
+            if mask is not None:
+                mask = mask[:, ::take_each]
+        if mask is None:
+            mask = jnp.ones(x.shape[:2], dtype=x.dtype)
+        return x, mask
