@@ -1,0 +1,546 @@
+"""Attention sequence-generator decoder: teacher-forced cost + one-step generate.
+
+TPU-first re-design of the Blocks generation stack
+(``blocks/bricks/sequence_generators.py``: BaseSequenceGenerator:48,
+Readout:531, SoftmaxEmitter:751, LookupFeedback:820;
+``blocks/bricks/attention.py``: AttentionRecurrent:479) and the lvsr
+additions (``lvsr/bricks/language_models.py``: ShallowFusionReadout:74,
+LMEmitter:147; ``lvsr/bricks/__init__.py``: RewardRegressionEmitter:119).
+
+Scheduling (identical to the reference's evaluate/generate contract):
+
+* step ``t`` readout uses the *pre-update* states ``s_t``, the glimpses
+  ``g_{t+1}`` computed from ``s_t``/``g_t``, and feedback of the *previous*
+  output (initial output at ``t==0``);
+* the transition then consumes feedback of the *current* output together
+  with ``g_{t+1}`` (added onto the fork projections through a bias-free
+  "distribute" projection, blocks attention.py:558-563,656-660).
+
+TPU-first re-design decisions:
+
+* feedback + fork projections for the whole label sequence are batched
+  matmuls outside the scan (MXU); the scan only carries state updates and
+  glimpse computation;
+* the readout/cost over all steps happens after the scan as one big
+  ``(T*B, V)`` matmul block;
+* for decoding, the step is split into ``score_step`` (glimpses + per-symbol
+  costs) and ``advance_states`` (consume a chosen symbol) so the on-device
+  beam search can insert its top-k between them.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from attention_lvcsr_tpu.models.attention import BaseAttention
+from attention_lvcsr_tpu.models.cells import make_cell
+
+
+# ---------------------------------------------------------------------------
+# Feedback
+# ---------------------------------------------------------------------------
+
+class LookupFeedback(nn.Module):
+    """Embeds integer outputs (blocks LookupFeedback:820)."""
+    num_outputs: int
+    feedback_dim: int
+
+    @nn.compact
+    def __call__(self, outputs):
+        embed = nn.Embed(self.num_outputs, self.feedback_dim, name="lookup")
+        return embed(outputs)
+
+
+class OneOfNFeedback(nn.Module):
+    """One-hot feedback (lvsr OneOfNFeedback, lvsr/bricks/__init__.py:86)."""
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self, outputs):
+        return jax.nn.one_hot(outputs, self.num_outputs)
+
+
+# ---------------------------------------------------------------------------
+# Readout
+# ---------------------------------------------------------------------------
+
+class Readout(nn.Module):
+    """Merge sources -> post-merge MLP -> logits.
+
+    ``merge``: per-source bias-free linear into ``merged_dim``, summed
+    (blocks Readout:594-612 with the default Merge).  ``post_merge``:
+    ``Bias -> activation -> MLP(post_merge_dims -> readout_dim)`` when
+    ``post_merge_dims`` is set (lvsr recognizer.py:305-319), otherwise just
+    a bias.
+    """
+    source_names: Sequence[str]
+    readout_dim: int
+    post_merge_dims: Optional[Sequence[int]] = None
+    post_merge_activation: str = "tanh"
+
+    @property
+    def merged_dim(self):
+        return (self.post_merge_dims[0] if self.post_merge_dims
+                else self.readout_dim)
+
+    def setup(self):
+        self.merge = {
+            name: nn.Dense(self.merged_dim, use_bias=False,
+                           name=f"merge_{name}")
+            for name in self.source_names
+        }
+        self.merge_bias = self.param("merge_bias", nn.initializers.zeros,
+                                     (self.merged_dim,))
+        if self.post_merge_dims:
+            dims = list(self.post_merge_dims[1:]) + [self.readout_dim]
+            self.post_merge = [nn.Dense(d, name=f"post_merge_{i}")
+                               for i, d in enumerate(dims)]
+        else:
+            self.post_merge = []
+
+    def _activation(self, x):
+        if self.post_merge_activation == "tanh":
+            return jnp.tanh(x)
+        if self.post_merge_activation == "relu":
+            return jax.nn.relu(x)
+        raise ValueError(self.post_merge_activation)
+
+    def __call__(self, sources: Mapping[str, Any]):
+        merged = self.merge_bias
+        for name in self.source_names:
+            merged = merged + self.merge[name](sources[name])
+        if self.post_merge:
+            x = self._activation(merged)
+            for i, layer in enumerate(self.post_merge):
+                x = layer(x)
+                if i < len(self.post_merge) - 1:
+                    x = self._activation(x)
+            return x
+        return merged
+
+
+class ShallowFusionReadout(Readout):
+    """AM/LM shallow fusion (lvsr/bricks/language_models.py:74-104).
+
+    ``x = am_beta * AM + lm_weight * (-lm_add)`` with optional log-softmax
+    normalization of each term and/or the sum.
+    """
+    lm_costs_name: str = "lm_add"
+    lm_weight: float = 0.0
+    normalize_am_weights: bool = True
+    normalize_lm_weights: bool = False
+    normalize_tot_weights: bool = False
+    am_beta: float = 1.0
+
+    def __call__(self, sources: Mapping[str, Any]):
+        sources = dict(sources)
+        lm_costs = -sources.pop(self.lm_costs_name)
+        if self.normalize_lm_weights:
+            lm_costs = jax.nn.log_softmax(lm_costs, axis=-1)
+        am = self.am_beta * super().__call__(sources)
+        if self.normalize_am_weights:
+            am = jax.nn.log_softmax(am, axis=-1)
+        x = am + self.lm_weight * lm_costs
+        if self.normalize_tot_weights:
+            x = jax.nn.log_softmax(x, axis=-1)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Emitters (stateless strategies over readouts)
+# ---------------------------------------------------------------------------
+
+class SoftmaxEmitter:
+    """Categorical emitter (blocks SoftmaxEmitter:751)."""
+
+    def __init__(self, initial_output=0):
+        self.initial_output = initial_output
+
+    def emit(self, rng, readouts):
+        return jax.random.categorical(rng, readouts, axis=-1)
+
+    def cost(self, readouts, outputs):
+        logp = jax.nn.log_softmax(readouts, axis=-1)
+        return -jnp.take_along_axis(logp, outputs[..., None], axis=-1)[..., 0]
+
+    def costs(self, readouts):
+        return -jax.nn.log_softmax(readouts, axis=-1)
+
+    def initial_outputs(self, batch_size):
+        return jnp.full((batch_size,), self.initial_output, dtype=jnp.int32)
+
+
+class LMEmitter:
+    """No-op emitter when normalization lives in ShallowFusionReadout
+    (lvsr/bricks/language_models.py:147-184)."""
+
+    def __init__(self, initial_output=0):
+        self.initial_output = initial_output
+
+    def emit(self, rng, readouts):
+        return jnp.argmax(readouts, axis=-1)
+
+    def cost(self, readouts, outputs):
+        return -jnp.take_along_axis(readouts, outputs[..., None],
+                                    axis=-1)[..., 0]
+
+    def costs(self, readouts):
+        return -readouts
+
+    def initial_outputs(self, batch_size):
+        return jnp.full((batch_size,), self.initial_output, dtype=jnp.int32)
+
+
+class RewardRegressionEmitter:
+    """Readouts are per-symbol predicted gains; greedy emission
+    (lvsr/bricks/__init__.py:119-202).  The MSE-vs-reward criterion itself
+    is applied in ``SequenceGenerator.evaluate`` because it needs the
+    host-computed reward/gain matrices."""
+
+    def __init__(self, initial_output=0):
+        self.initial_output = initial_output
+
+    def emit(self, rng, readouts):
+        return jnp.argmax(readouts, axis=-1)
+
+    def cost(self, readouts, outputs):
+        return jnp.take_along_axis(readouts, outputs[..., None],
+                                   axis=-1)[..., 0]
+
+    def costs(self, readouts):
+        return -readouts
+
+    def initial_outputs(self, batch_size):
+        return jnp.zeros((batch_size,), dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# The generator
+# ---------------------------------------------------------------------------
+
+def _mask_mix(mask, new, old):
+    if mask is None:
+        return new
+    return jax.tree.map(
+        lambda n, o: jnp.where(
+            mask.reshape(mask.shape + (1,) * (n.ndim - mask.ndim)) > 0, n, o),
+        new, old)
+
+
+class SequenceGenerator(nn.Module):
+    """Decoder: stacked recurrent transition + attention + readout.
+
+    Parameters (mirroring the lvsr config surface, recognizer.py:250-343):
+    ``dec_transition`` cell type; ``dim_dec``; ``dec_stack`` layers with
+    skip connections; an attention module; feedback/readout settings.
+    """
+    attention: BaseAttention
+    readout: Readout
+    num_outputs: int              # alphabet size (num_phonemes)
+    dim_dec: int
+    dec_transition: str = "gru"
+    dec_stack: int = 1
+    embed_outputs: bool = True
+    dim_output_embedding: Optional[int] = None
+    use_states_for_readout: bool = False
+    criterion: str = "log_likelihood"
+    min_reward: float = -1.0
+    # Optional FST language model for shallow fusion; see models/lm.py.
+    language_model: Optional[Any] = None
+
+    def setup(self):
+        feedback_dim = (self.dim_output_embedding or self.dim_dec)
+        if self.embed_outputs:
+            self.feedback = LookupFeedback(self.num_outputs + 1, feedback_dim,
+                                           name="feedback")
+        else:
+            self.feedback = OneOfNFeedback(self.num_outputs + 1,
+                                           name="feedback")
+
+        cells = []
+        forks = []
+        distributes = []
+        interlayer = []
+        for layer in range(self.dec_stack):
+            cell = make_cell(self.dec_transition, self.dim_dec,
+                             name=f"transition_{layer}")
+            cells.append(cell)
+            dims = cell.sequence_dims()
+            forks.append({
+                seq: nn.Dense(d, name=f"fork_{layer}_{seq}")
+                for seq, d in dims.items()})
+            distributes.append({
+                seq: nn.Dense(d, use_bias=False,
+                              name=f"distribute_{layer}_{seq}")
+                for seq, d in dims.items()})
+            if layer > 0:
+                interlayer.append({
+                    seq: nn.Dense(d, use_bias=False,
+                                  name=f"interlayer_{layer}_{seq}")
+                    for seq, d in dims.items()})
+        self.cells = cells
+        self.forks = forks
+        self.distributes = distributes
+        self.interlayer = interlayer
+
+    # -- naming ------------------------------------------------------------
+    @property
+    def state_names(self) -> Tuple[str, ...]:
+        if self.dec_stack == 1:
+            return ("states",)
+        return tuple(f"states_{i}" for i in range(self.dec_stack))
+
+    def _att_states(self, states):
+        """States dict keyed the way the attention module expects."""
+        return {name: states[i]["states"]
+                for i, name in enumerate(self.state_names)}
+
+    # -- pieces ------------------------------------------------------------
+    def initial_states(self, batch_size, attended):
+        states = [cell.initial_states(batch_size) for cell in self.cells]
+        glimpses = self.attention.initial_glimpses(batch_size, attended)
+        outputs = jnp.full((batch_size,), self.initial_output,
+                           dtype=jnp.int32)
+        carry = {"states": states, "glimpses": glimpses, "outputs": outputs}
+        if self.language_model is not None:
+            carry["lm"] = self.language_model.initial_states(batch_size)
+        return carry
+
+    @property
+    def initial_output(self):
+        # SoftmaxEmitter(initial_output=num_phonemes): the extra feedback
+        # row.  The reward-regression emitter starts from zero
+        # (lvsr/bricks/__init__.py:195-197).
+        if self.criterion.startswith("mse"):
+            return 0
+        return self.num_outputs
+
+    def emitter(self):
+        if self.criterion.startswith("mse"):
+            return RewardRegressionEmitter()
+        if self.language_model is not None:
+            return LMEmitter(initial_output=self.initial_output)
+        return SoftmaxEmitter(initial_output=self.initial_output)
+
+    def _fork_all(self, feedback):
+        """Fork projections for every layer; feedback (..., Fd)."""
+        return [{seq: fork(feedback) for seq, fork in layer.items()}
+                for layer in self.forks]
+
+    def _compute_states(self, states, forked, wa, mask=None):
+        """One transition step for the whole stack (with skip connections)."""
+        new_states = []
+        below = None
+        for layer in range(self.dec_stack):
+            seqs = {}
+            for seq in self.forks[layer]:
+                val = forked[layer][seq] + self.distributes[layer][seq](wa)
+                if layer > 0:
+                    val = val + self.interlayer[layer - 1][seq](below)
+                seqs[seq] = val
+            updated = self.cells[layer].one_step(states[layer], seqs,
+                                                 mask=mask)
+            new_states.append(updated)
+            below = updated["states"]
+        return new_states
+
+    def _readout_sources(self, states, glimpses, feedback, lm_state=None):
+        sources = {}
+        if self.use_states_for_readout:
+            for i, name in enumerate(self.state_names):
+                sources[name] = states[i]["states"]
+        sources["weighted_averages"] = glimpses["weighted_averages"]
+        if "feedback" in self.readout.source_names:
+            sources["feedback"] = feedback
+        if self.language_model is not None and lm_state is not None:
+            sources["lm_add"] = lm_state["add"]
+        return sources
+
+    # -- teacher-forced evaluation ----------------------------------------
+    def evaluate(self, attended, attended_mask, outputs, mask=None,
+                 groundtruth=None):
+        """Teacher-forced pass.
+
+        Parameters
+        ----------
+        attended : (B, L, D); attended_mask : (B, L)
+        outputs : (T, B) int labels (the fed-back prediction)
+        mask : (T, B) or None
+        groundtruth : (T, B) or None — used by the mse criteria; defaults
+            to ``outputs`` (reference recognizer.get_cost_graph:437-449).
+
+        Returns
+        -------
+        dict with ``costs`` (T, B), ``weights`` (T, B, L), ``energies``,
+        ``readouts``, final states.
+        """
+        T, B = outputs.shape
+        preprocessed = self.attention.preprocess(attended)
+
+        feedback_seq = self.feedback(outputs)                  # (T, B, Fd)
+        forked_seq = self._fork_all(feedback_seq)              # big matmuls
+
+        init_states = [cell.initial_states(B) for cell in self.cells]
+        init_glimpses = self.attention.initial_glimpses(B, attended)
+
+        def step(mdl, carry, inp):
+            states, glimpses = carry
+            forked_t, mask_t = inp
+            g_new = mdl.attention.take_glimpses(
+                attended, preprocessed, attended_mask, glimpses,
+                mdl._att_states(states))
+            new_states = mdl._compute_states(
+                states, forked_t, g_new["weighted_averages"])
+            # recurrent-decorator masking over states AND glimpses
+            if mask is not None:
+                new_states = _mask_mix(mask_t, new_states, states)
+                g_carry = _mask_mix(mask_t, g_new, glimpses)
+            else:
+                g_carry = g_new
+            return (new_states, g_carry), (states, g_carry)
+
+        xs = (forked_seq, mask if mask is not None
+              else jnp.ones((T, B), attended.dtype))
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False})
+        (final_states, final_glimpses), (pre_states, glimpses_seq) = \
+            scan(self, (init_states, init_glimpses), xs)
+
+        # Rolled feedback: position t sees feedback of outputs[t-1];
+        # t==0 sees the initial output.
+        init_feedback = self.feedback(
+            jnp.full((1, B), self.initial_output, jnp.int32))[0]
+        rolled_feedback = jnp.concatenate(
+            [init_feedback[None], feedback_seq[:-1]], axis=0)
+
+        lm_states_seq = None
+        if self.language_model is not None:
+            lm_states_seq = self.language_model.evaluate(outputs, mask)
+
+        sources = {}
+        if self.use_states_for_readout:
+            for i, name in enumerate(self.state_names):
+                sources[name] = pre_states[i]["states"]
+        sources["weighted_averages"] = glimpses_seq["weighted_averages"]
+        if "feedback" in self.readout.source_names:
+            sources["feedback"] = rolled_feedback
+        if self.language_model is not None:
+            sources["lm_add"] = lm_states_seq["add"]
+
+        readouts = self.readout(sources)                       # (T, B, V)
+
+        emitter = self.emitter()
+        if self.criterion.startswith("mse"):
+            costs, aux = self._mse_costs(readouts, outputs, mask, groundtruth)
+        else:
+            costs = emitter.cost(readouts, outputs)
+            aux = {}
+        if mask is not None:
+            costs = costs * mask
+
+        result = {
+            "costs": costs,
+            "readouts": readouts,
+            "weights": glimpses_seq.get("weights"),
+            "energies": glimpses_seq.get("energies"),
+            "final_states": final_states,
+            "final_glimpses": final_glimpses,
+        }
+        result.update(aux)
+        return result
+
+    def _mse_costs(self, readouts, outputs, mask, groundtruth):
+        """Task-loss MSE criteria (lvsr/bricks/__init__.py:134-182)."""
+        from attention_lvcsr_tpu.ops.reward_op import reward_and_gain
+        if groundtruth is None:
+            groundtruth = outputs
+        rewards, gains = reward_and_gain(groundtruth, outputs,
+                                         self.num_outputs)
+        gains = jnp.maximum(gains.astype(readouts.dtype), self.min_reward)
+        rewards = rewards.astype(readouts.dtype)
+
+        T, B = outputs.shape
+        predicted_gains = jnp.take_along_axis(
+            readouts, outputs[..., None], axis=-1)[..., 0]      # (T, B)
+        predicted_gains = jnp.concatenate(
+            [jnp.zeros((1, B), readouts.dtype), predicted_gains[1:]], axis=0)
+        predicted_rewards = readouts + jnp.cumsum(
+            predicted_gains, axis=0)[..., None]
+
+        gain_mse_matrix = ((readouts - gains) ** 2).sum(axis=-1)
+        reward_mse_matrix = ((predicted_rewards - rewards) ** 2).sum(axis=-1)
+        aux = {
+            "gain_mse_loss": gain_mse_matrix.sum(),
+            "reward_mse_loss": reward_mse_matrix.sum(),
+            "gain_matrix": gains,
+            "reward_matrix": rewards,
+        }
+        if self.criterion == "mse_gain":
+            return gain_mse_matrix, aux
+        return reward_mse_matrix, aux
+
+    # -- one-step decode interface ----------------------------------------
+    def score_step(self, carry, contexts):
+        """Glimpses + per-symbol continuation costs for the current step.
+
+        ``contexts`` = dict(attended, preprocessed, attended_mask).
+        Returns (glimpses, costs (B, V), readouts).
+        """
+        g_new = self.attention.take_glimpses(
+            contexts["attended"], contexts["preprocessed"],
+            contexts["attended_mask"], carry["glimpses"],
+            self._att_states(carry["states"]))
+        feedback_prev = self.feedback(carry["outputs"])
+        sources = self._readout_sources(
+            carry["states"], g_new, feedback_prev, carry.get("lm"))
+        readouts = self.readout(sources)
+        costs = self.emitter().costs(readouts)
+        return g_new, costs, readouts
+
+    def advance_states(self, carry, g_new, chosen_outputs, contexts):
+        """Consume chosen symbols: transition + LM update."""
+        feedback_new = self.feedback(chosen_outputs)
+        forked = self._fork_all(feedback_new)
+        new_states = self._compute_states(
+            carry["states"], forked, g_new["weighted_averages"])
+        new_carry = {"states": new_states, "glimpses": g_new,
+                     "outputs": chosen_outputs}
+        if self.language_model is not None:
+            new_carry["lm"] = self.language_model.one_step(
+                carry["lm"], chosen_outputs)
+        return new_carry
+
+    def generate_step(self, carry, contexts, rng):
+        """Full generation step: score, emit, advance (reference
+        BaseSequenceGenerator.generate, sequence_generators.py:329-377)."""
+        g_new, costs, readouts = self.score_step(carry, contexts)
+        emitter = self.emitter()
+        outputs = emitter.emit(rng, readouts)
+        step_costs = emitter.cost(readouts, outputs)
+        new_carry = self.advance_states(carry, g_new, outputs, contexts)
+        return new_carry, {"outputs": outputs, "costs": step_costs,
+                           "weights": g_new.get("weights"),
+                           "readouts": readouts}
+
+    def generate(self, attended, attended_mask, n_steps, rng):
+        """Sample sequences with a `lax.scan` over generate_step."""
+        B = attended.shape[0]
+        contexts = {
+            "attended": attended,
+            "preprocessed": self.attention.preprocess(attended),
+            "attended_mask": attended_mask,
+        }
+        carry = self.initial_states(B, attended)
+        rngs = jax.random.split(rng, n_steps)
+
+        def step(mdl, c, r):
+            new_c, out = mdl.generate_step(c, contexts, r)
+            return new_c, out
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False})
+        final, outs = scan(self, carry, rngs)
+        return outs
