@@ -106,7 +106,7 @@ class RecognizerNet(nn.Module):
             self.attention_type, state_names, dim_encoded,
             self.dim_matcher or self.dim_dec, conv_n=self.conv_n,
             conv_num_filters=self.conv_num_filters, prior=self.prior,
-            energy_normalizer=self.energy_normalizer, name="attention")
+            energy_normalizer=self.energy_normalizer)
 
         source_names = (list(state_names) if self.use_states_for_readout
                         else []) + ["weighted_averages"]
@@ -126,8 +126,7 @@ class RecognizerNet(nn.Module):
                 normalize_am_weights=lm_conf.pop("normalize_am_weights", True),
                 normalize_lm_weights=lm_conf.pop("normalize_lm_weights", False),
                 normalize_tot_weights=lm_conf.pop("normalize_tot_weights", False),
-                am_beta=lm_conf.pop("am_beta", 1.0),
-                name="readout")
+                am_beta=lm_conf.pop("am_beta", 1.0))
             lm_module = make_language_model(
                 lm_conf, nn_char_map=dict(self.character_map or {}),
                 name="language_model")
@@ -137,8 +136,7 @@ class RecognizerNet(nn.Module):
                 readout_dim=self.num_phonemes,
                 post_merge_dims=(tuple(self.post_merge_dims)
                                  if self.post_merge_dims else None),
-                post_merge_activation=self.post_merge_activation,
-                name="readout")
+                post_merge_activation=self.post_merge_activation)
 
         self.generator = SequenceGenerator(
             attention=attention, readout=readout,
