@@ -1,0 +1,122 @@
+"""Config system tests: parents, merging, overrides, stages, schema,
+reference-YAML-tag compatibility."""
+import os
+import textwrap
+
+import pytest
+
+from attention_lvcsr_tpu.config import (Configuration, load_yaml,
+                                        make_config_changes,
+                                        merge_recursively, read_config)
+from attention_lvcsr_tpu.config.schema import (ConfigValidationError,
+                                               validate_config)
+
+PROTO = os.path.join(os.path.dirname(__file__), os.pardir,
+                     "attention_lvcsr_tpu", "config", "prototypes",
+                     "prototype_speech.yaml")
+
+
+def test_merge_recursively():
+    base = {"a": {"b": 1, "c": 2}, "d": 3}
+    merge_recursively(base, {"a": {"b": 10}, "e": 4})
+    assert base == {"a": {"b": 10, "c": 2}, "d": 3, "e": 4}
+
+
+def test_parent_chain(tmp_path):
+    parent = tmp_path / "parent.yaml"
+    parent.write_text("net:\n  dim_dec: 5\n  subsample: [1]\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"parent: {parent}\nnet:\n  dim_dec: 7\n")
+    with open(child) as f:
+        config = read_config(f)
+    assert config["net"] == {"dim_dec": 7, "subsample": [1]}
+
+
+def test_env_expansion_in_parent(tmp_path, monkeypatch):
+    parent = tmp_path / "base.yaml"
+    parent.write_text("net: {dim_dec: 3}\n")
+    child = tmp_path / "child.yaml"
+    child.write_text("parent: $MYROOT/base.yaml\n")
+    monkeypatch.setenv("MYROOT", str(tmp_path))
+    with open(child) as f:
+        config = read_config(f)
+    assert config["net"]["dim_dec"] == 3
+
+
+def test_cli_overrides():
+    config = {"training": {"scale": 0.01}, "net": {"dim_dec": 5}}
+    make_config_changes(config, [("training.scale", "0.1"),
+                                 ("net.dims_bidir", "[4, 5]")])
+    assert config["training"]["scale"] == 0.1
+    assert config["net"]["dims_bidir"] == [4, 5]
+
+
+def test_stages(tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(textwrap.dedent(f"""
+        parent: {PROTO}
+        stages:
+            pretraining:
+                number: 0
+                training: {{num_epochs: 1}}
+            main:
+                number: 100
+                training: {{num_epochs: 10, restart_from: _best_ll}}
+    """))
+    config = Configuration(str(cfg))
+    assert config.multi_stage
+    names = list(config.ordered_stages)
+    assert names == ["pretraining", "main"]
+    assert config.ordered_stages["pretraining"]["training"]["num_epochs"] == 1
+    assert config.ordered_stages["main"]["training"]["num_epochs"] == 10
+    # stage configs inherit the base net section
+    assert config.ordered_stages["main"]["net"]["dim_dec"] == 100
+    assert "stages" not in config.ordered_stages["main"]
+
+
+def test_schema_catches_unknown_key(tmp_path):
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text("net:\n  not_a_real_option: 3\n")
+    with pytest.raises(ConfigValidationError):
+        Configuration(str(cfg))
+
+
+def test_schema_accepts_prototype():
+    config = Configuration(PROTO)
+    assert config["net"]["dim_dec"] == 100
+
+
+def test_reference_yaml_tags():
+    text = textwrap.dedent("""
+        net:
+            enc_transition: !!python/name:blocks.bricks.recurrent.GatedRecurrent
+            bottom:
+                bottom_class: !!python/name:lvsr.bricks.recognizer.SpeechBottom
+                activation: !!python/object/apply:blocks.bricks.Rectifier []
+        initialization:
+            /recognizer:
+                weights_init:
+                    !!python/object/apply:blocks.initialization.IsotropicGaussian [0.1]
+                rec_weights_init:
+                    !!python/object/apply:blocks.initialization.Orthogonal []
+    """)
+    config = load_yaml(text)
+    assert config["net"]["enc_transition"] == "GatedRecurrent"
+    assert config["net"]["bottom"]["bottom_class"] == "SpeechBottom"
+    assert config["net"]["bottom"]["activation"] == "relu"
+    init = config["initialization"]["/recognizer"]
+    assert init["weights_init"] == ["IsotropicGaussian", 0.1]
+    assert init["rec_weights_init"] == ["Orthogonal"]
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not mounted")
+def test_loads_reference_wsj_config(monkeypatch):
+    """The shipped WSJ paper config (with its parent chain) parses."""
+    monkeypatch.setenv("LVSR", "/root/reference")
+    with open("/root/reference/exp/wsj/configs/wsj_paper.yaml") as f:
+        config = read_config(f)
+    assert config["net"]["dims_bidir"] == [250, 250, 250, 250]
+    assert config["net"]["subsample"] == [1, 1, 2, 2]
+    assert config["net"]["prior"]["type"] == "window_around_median"
+    assert "stages" in config
