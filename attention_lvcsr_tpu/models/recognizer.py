@@ -83,9 +83,14 @@ class RecognizerNet(nn.Module):
     data_prepend_eos: bool = True
     energy_normalizer: Optional[str] = None
     max_decoded_length_scale: float = 1.0
+    # Regularization knobs applied inside the cost graph (the reference
+    # applies dropout 0.5 to the bottom output via graph surgery,
+    # lvsr/main.py:402-404).
+    dropout: bool = False
 
     def setup(self):
         criterion = dict(self.criterion or {"name": "log_likelihood"})
+        self.bottom_dropout = nn.Dropout(rate=0.5)
         self.bottom_net = make_bottom(
             dict(self.bottom or {"bottom_class": "speech"}),
             dict(self.input_dims), dict(self.input_num_chars), name="bottom")
@@ -150,22 +155,29 @@ class RecognizerNet(nn.Module):
             language_model=lm_module, name="generator")
 
     # -- pieces ------------------------------------------------------------
-    def encode(self, inputs, inputs_mask):
+    def encode(self, inputs, inputs_mask, dropout=False):
         """bottom -> encoder -> top. inputs: (B, T, F) or (B, T) ints."""
         bottom_out = self.bottom_net(inputs)
+        if dropout:
+            bottom_out = self.bottom_dropout(bottom_out,
+                                             deterministic=False)
         encoded, encoded_mask = self.encoder(bottom_out, inputs_mask)
         if self.top is not None:
             encoded = self.top(encoded)
         return encoded, encoded_mask, bottom_out
 
     def cost(self, inputs, inputs_mask, labels, labels_mask,
-             prediction=None, prediction_mask=None):
+             prediction=None, prediction_mask=None, train=False):
         """Teacher-forced cost graph (recognizer.py:375-390).
 
         ``labels``/masks are batch-major (B, T); internally time-major.
         Returns the generator's evaluate dict plus encoder diagnostics.
+        With ``train=True`` and ``dropout`` configured, dropout(0.5) is
+        applied to the bottom output (rng collection 'dropout').
         """
-        encoded, encoded_mask, bottom_out = self.encode(inputs, inputs_mask)
+        encoded, encoded_mask, bottom_out = self.encode(
+            inputs, inputs_mask,
+            dropout=self.dropout and train)
         fed = prediction if prediction is not None else labels
         fed_mask = (prediction_mask if prediction_mask is not None
                     else labels_mask)

@@ -1,0 +1,395 @@
+"""Training extension (callback) framework and the standard extensions.
+
+Counterpart of the Blocks extension system
+(``blocks/extensions/__init__.py``: TrainingExtension:19,
+SimpleExtension:173, FinishAfter:369, Printing:421, Timing:558;
+``blocks/extensions/training.py``: TrackTheBest:48;
+``blocks/extensions/saveload.py``: Checkpoint:16, Load:105;
+``lvsr/extensions.py``: AdaptiveClipping:64, Patience:157, CodeVersion:36)
+re-shaped around a host loop that drives a jitted train step: extensions
+see the log and the algorithm (params/opt-state owner), never a Theano
+graph.
+"""
+from __future__ import annotations
+
+import math
+import os
+import signal
+import subprocess
+import sys
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+CALLBACKS = ("before_training", "before_epoch", "before_batch",
+             "after_batch", "after_epoch", "after_training",
+             "on_interrupt", "on_resumption", "on_error")
+
+
+class TrainingExtension:
+    """Base: overridable callback methods, access to the main loop."""
+    main_loop = None
+
+    @property
+    def log(self):
+        return self.main_loop.log
+
+    def dispatch(self, callback_name, *args):
+        getattr(self, callback_name, lambda *a: None)(*args)
+
+    def before_training(self): pass
+    def before_epoch(self): pass
+    def before_batch(self, batch): pass
+    def after_batch(self, batch): pass
+    def after_epoch(self): pass
+    def after_training(self): pass
+    def on_interrupt(self): pass
+    def on_resumption(self): pass
+    def on_error(self, exc): pass
+
+
+class SimpleExtension(TrainingExtension):
+    """Condition-triggered extension: subclasses implement ``do``.
+
+    Trigger kwargs: ``before_training``, ``before_first_epoch``,
+    ``before_epoch``, ``after_epoch``, ``after_batch``,
+    ``after_training``, ``every_n_batches``, ``every_n_epochs``,
+    ``after_n_batches``, ``after_n_epochs``, ``on_interrupt``.
+    """
+
+    def __init__(self, **conditions):
+        self._conditions: List[tuple] = []
+        self._extra_conditions: List[tuple] = []
+        self.set_conditions(**conditions)
+
+    def set_conditions(self, **conditions):
+        self._conditions = [(k, v) for k, v in conditions.items() if v]
+        return self
+
+    def add_condition(self, callback_names, predicate=None, arguments=()):
+        for name in callback_names:
+            self._extra_conditions.append((name, predicate, tuple(arguments)))
+        return self
+
+    def do(self, which_callback, *args):
+        raise NotImplementedError
+
+    # -- dispatch ----------------------------------------------------------
+    def dispatch(self, callback_name, *args):
+        status = self.main_loop.log.status
+        fired = False
+        for cond, value in self._conditions:
+            if fired:
+                break
+            if cond == callback_name and value is True:
+                fired = True
+            elif cond == "before_first_epoch" and \
+                    callback_name == "before_epoch" and \
+                    status["epochs_done"] == 0 and value:
+                fired = True
+            elif cond == "every_n_batches" and callback_name == "after_batch" \
+                    and value and status["iterations_done"] > 0 \
+                    and status["iterations_done"] % value == 0:
+                fired = True
+            elif cond == "every_n_epochs" and callback_name == "after_epoch" \
+                    and value and status["epochs_done"] > 0 \
+                    and status["epochs_done"] % value == 0:
+                fired = True
+            elif cond == "after_n_batches" and callback_name == "after_batch" \
+                    and value and status["iterations_done"] >= value:
+                fired = True
+            elif cond == "after_n_epochs" and callback_name == "after_epoch" \
+                    and value and status["epochs_done"] >= value:
+                fired = True
+        if fired:
+            self.do(callback_name, *args)
+        for name, predicate, arguments in self._extra_conditions:
+            if name == callback_name and (predicate is None or
+                                          predicate(self.main_loop.log)):
+                self.do(callback_name, *(args + arguments))
+
+
+class FinishAfter(SimpleExtension):
+    """Request loop termination (blocks FinishAfter:369)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("after_n_batches", None)
+        super().__init__(**kwargs)
+
+    def do(self, which_callback, *args):
+        self.main_loop.log.current_row["training_finish_requested"] = True
+
+
+class Timing(TrainingExtension):
+    """Per-batch/epoch wall times into the log (blocks Timing:558)."""
+
+    def before_training(self):
+        self._batch_start = None
+        self._epoch_start = None
+
+    def before_epoch(self):
+        self._epoch_start = time.time()
+
+    def before_batch(self, batch):
+        self._batch_start = time.time()
+
+    def after_batch(self, batch):
+        if self._batch_start is not None:
+            self.log.current_row["time_train_this_batch"] = (
+                time.time() - self._batch_start)
+
+    def after_epoch(self):
+        if self._epoch_start is not None:
+            self.log.current_row["time_train_this_epoch"] = (
+                time.time() - self._epoch_start)
+
+
+class Printing(SimpleExtension):
+    """Console dump of the current log row (blocks Printing:421)."""
+
+    def __init__(self, hide_regex=None, **kwargs):
+        kwargs.setdefault("after_epoch", True)
+        kwargs.setdefault("on_interrupt", True)
+        super().__init__(**kwargs)
+        import re
+        self._hide = re.compile(hide_regex) if hide_regex else None
+
+    def do(self, which_callback, *args):
+        log = self.main_loop.log
+        print("-" * 70)
+        print(f"Log records from iteration {log.status['iterations_done']}, "
+              f"epoch {log.status['epochs_done']}:")
+        for key in sorted(log.current_row):
+            if self._hide and self._hide.match(key):
+                continue
+            value = log.current_row[key]
+            if isinstance(value, float):
+                value = f"{value:.6g}"
+            print(f"\t {key}: {value}")
+        sys.stdout.flush()
+
+
+class ProgressBar(TrainingExtension):
+    """Minimal stderr progress indicator."""
+
+    def before_epoch(self):
+        self._count = 0
+        self._t0 = time.time()
+
+    def after_batch(self, batch):
+        self._count += 1
+        if self._count % 10 == 0:
+            rate = self._count / (time.time() - self._t0 + 1e-9)
+            print(f"\r  batch {self._count} ({rate:.1f} it/s)",
+                  end="", file=sys.stderr)
+
+    def after_epoch(self):
+        print("", file=sys.stderr)
+
+
+class TrackTheBest(SimpleExtension):
+    """Track the minimum of a log record (blocks TrackTheBest:48)."""
+
+    def __init__(self, record_name, choose_best=min, **kwargs):
+        self.record_name = record_name
+        self.best_name = "best_" + record_name
+        self.notification_name = self.best_name
+        self.choose_best = choose_best
+        kwargs.setdefault("after_epoch", True)
+        super().__init__(**kwargs)
+
+    def do(self, which_callback, *args):
+        log = self.main_loop.log
+        value = log.current_row.get(self.record_name)
+        if value is None:
+            value = log.last_value(self.record_name)
+        if value is None:
+            return
+        best = log.status.get(self.best_name)
+        if best is None or self.choose_best(value, best) == value \
+                and value != best:
+            log.status[self.best_name] = value
+            log.current_row[self.notification_name] = True
+
+
+class Patience(FinishAfter):
+    """Multiplicative-patience early stopping (lvsr Patience:157-234).
+
+    Waits until ``patience_factor * iterations_at_last_improvement``
+    (at least ``min_iterations`` / ``min_epochs``) before finishing.
+    """
+
+    def __init__(self, min_iterations=None, min_epochs=None,
+                 patience_factor=1.5, patience_log_record=None,
+                 notification_names=None, **kwargs):
+        if (min_iterations is None) == (min_epochs is None):
+            raise ValueError("provide exactly one of min_iterations, "
+                             "min_epochs")
+        self.min_iterations = min_iterations
+        self.min_epochs = min_epochs
+        self.patience_factor = patience_factor
+        self.notification_names = list(notification_names or [])
+        self.last_best_iter = 0
+        self.last_best_epoch = 0
+        self.patience_log_record = patience_log_record or "patience"
+        kwargs.setdefault("after_batch", True)
+        kwargs.setdefault("after_epoch", True)
+        super().__init__(**kwargs)
+
+    def update_best(self):
+        log = self.main_loop.log
+        for name in self.notification_names:
+            if log.current_row.get(name):
+                self.last_best_iter = log.status["iterations_done"]
+                self.last_best_epoch = log.status["epochs_done"]
+
+    def do(self, which_callback, *args):
+        self.update_best()
+        log = self.main_loop.log
+        if self.min_iterations is not None:
+            patience = max(self.min_iterations,
+                           int(self.last_best_iter * self.patience_factor))
+            log.current_row[self.patience_log_record] = patience
+            if log.status["iterations_done"] >= patience:
+                super().do(which_callback, *args)
+        else:
+            patience = max(self.min_epochs,
+                           int(math.ceil(
+                               self.last_best_epoch * self.patience_factor)))
+            log.current_row[self.patience_log_record] = patience
+            if log.status["epochs_done"] >= patience \
+                    and which_callback == "after_epoch":
+                super().do(which_callback, *args)
+
+
+class SwitchOffLengthFilter(SimpleExtension):
+    """Disable the max-length data filter mid-training
+    (lvsr/main.py:128-136)."""
+
+    def __init__(self, length_filter, **kwargs):
+        self.length_filter = length_filter
+        super().__init__(**kwargs)
+
+    def do(self, which_callback, *args):
+        self.length_filter.max_length = None
+        self.main_loop.log.current_row["length_filter_switched"] = True
+
+
+class Checkpoint(SimpleExtension):
+    """Atomic checkpoint with best-record aliases
+    (blocks Checkpoint:16-103 + lvsr/main.py:650-663)."""
+
+    def __init__(self, path, save_separately_params=True, **kwargs):
+        self.path = path
+        self.save_separately_params = save_separately_params
+        super().__init__(**kwargs)
+
+    def do(self, which_callback, *args):
+        from attention_lvcsr_tpu.train.checkpoint import (save_checkpoint,
+                                                          save_parameters)
+        loop = self.main_loop
+        path = args[-1] if args and isinstance(args[-1], str) else self.path
+        meta = {
+            "iterations_done": loop.log.status["iterations_done"],
+            "epochs_done": loop.log.status["epochs_done"],
+        }
+        save_checkpoint(path, loop.algorithm.parameter_dict(),
+                        opt_state=loop.algorithm.opt_state,
+                        log_state=loop.log.state_dict(), meta=meta)
+        if self.save_separately_params:
+            root, ext = os.path.splitext(path)
+            save_parameters(root + "_params.npz",
+                            loop.algorithm.parameter_dict())
+        loop.log.current_row["saved_to"] = path
+
+
+class Load(TrainingExtension):
+    """Resume params (+ optionally iteration state and log) from a
+    checkpoint (blocks Load:105-162)."""
+
+    def __init__(self, path, load_iteration_state=False, load_log=False):
+        self.path = path
+        self.load_iteration_state = load_iteration_state
+        self.load_log = load_log
+
+    def before_training(self):
+        from attention_lvcsr_tpu.train.checkpoint import load_checkpoint
+        from attention_lvcsr_tpu.train.log import TrainingLog
+        if not os.path.exists(self.path):
+            print(f"Load: no checkpoint at {self.path}", file=sys.stderr)
+            return
+        state = load_checkpoint(self.path)
+        loop = self.main_loop
+        loop.algorithm.set_parameters(state["parameters"])
+        if self.load_iteration_state and state.get("opt_state") is not None:
+            loop.algorithm.set_opt_state(state["opt_state"])
+        if self.load_log and state.get("log_state") is not None:
+            loop.log = TrainingLog.from_state_dict(state["log_state"])
+            loop.log.status["resumed_from"] = self.path
+            loop.log.status["epoch_started"] = False
+
+
+class LoadLog(TrainingExtension):
+    """Log-only resumption (lvsr/main.py:139-176)."""
+
+    def __init__(self, path):
+        self.path = path
+
+    def before_training(self):
+        from attention_lvcsr_tpu.train.checkpoint import load_checkpoint
+        from attention_lvcsr_tpu.train.log import TrainingLog
+        if not os.path.exists(self.path):
+            print(f"LoadLog: no checkpoint at {self.path}", file=sys.stderr)
+            return
+        state = load_checkpoint(self.path)
+        if state.get("log_state"):
+            self.main_loop.log = TrainingLog.from_state_dict(
+                state["log_state"])
+            self.main_loop.log.status["resumed_from"] = None
+            self.main_loop.log.status["epoch_started"] = False
+
+
+class CodeVersion(TrainingExtension):
+    """Record the git commit of the framework into the log
+    (lvsr CodeVersion:36-55)."""
+
+    def __init__(self, repo_dir=None):
+        self.repo_dir = repo_dir or os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def before_training(self):
+        try:
+            commit = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"], cwd=self.repo_dir,
+                stderr=subprocess.DEVNULL).decode().strip()
+            self.main_loop.log.status["code_version"] = commit
+        except Exception:
+            self.main_loop.log.status["code_version"] = "unknown"
+
+
+class CompilationStatistics(TrainingExtension):
+    """Log compile/trace cost of the train step (the CGStatistics role,
+    lvsr/extensions.py:21-33: the reference counted scan nodes; we record
+    the jaxpr equation count and compile time)."""
+
+    def before_training(self):
+        algo = self.main_loop.algorithm
+        stats = getattr(algo, "compile_stats", None)
+        if stats:
+            self.main_loop.log.status.update(stats)
+
+
+class EmbedShell(TrainingExtension):
+    """SIGUSR1 -> drop into pdb inside the running loop (the EmbedIPython
+    role, blocks-extras embed_ipython.py:9-36, without requiring a TTY
+    hijack)."""
+
+    def before_training(self):
+        def handler(signum, frame):
+            import pdb
+            pdb.Pdb().set_trace(frame)
+        try:
+            signal.signal(signal.SIGUSR1, handler)
+        except ValueError:
+            pass  # not in main thread
