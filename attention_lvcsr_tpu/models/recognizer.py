@@ -348,14 +348,31 @@ class SpeechRecognizer:
 
     def init_params(self, init_config, seed=1234):
         example = self._example_batch()
-        shapes = jax.eval_shape(
-            functools.partial(self.net.init, method=self.net.cost),
-            jax.random.PRNGKey(0), *example)
-        return initialize_params(shapes, init_config, seed=seed)
+        lm_conf = self.net_config.get("lm") or {}
+        if lm_conf.get("path"):
+            # a real init also materializes the non-trainable 'fst'
+            # collection (packed LM tables); params are then re-generated
+            # per the config below.
+            variables = self.net.init(jax.random.PRNGKey(0), *example,
+                                      method=self.net.cost)
+            shapes = variables
+        else:
+            shapes = jax.eval_shape(
+                functools.partial(self.net.init, method=self.net.cost),
+                jax.random.PRNGKey(0), *example)
+            variables = {}
+        out = initialize_params(shapes, init_config, seed=seed)
+        for collection, value in variables.items():
+            if collection != "params":
+                out[collection] = value
+        return out
 
     def load_params(self, path):
         from attention_lvcsr_tpu.train.checkpoint import load_parameters
-        self.params = params_from_path_dict(load_parameters(path))
+        loaded = params_from_path_dict(load_parameters(path))
+        # keep non-trainable collections (e.g. packed FST tables)
+        extras = {k: v for k, v in self.params.items() if k != "params"}
+        self.params = {**extras, "params": loaded["params"]}
         self._jit_cache.clear()
 
     def save_params(self, path):
