@@ -1,0 +1,115 @@
+"""Task-loss (reward regression) training path + exploration tests."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+from attention_lvcsr_tpu.ops.error_rate import batch_reward_and_gain
+from attention_lvcsr_tpu.train.driver import make_train_step
+from attention_lvcsr_tpu.train.rules import build_optimizer
+
+NET_CONFIG = dict(
+    input_dims={"recordings": 5},
+    input_num_chars={},
+    eos_label=4,
+    num_phonemes=5,
+    dim_dec=8,
+    dims_bidir=[6],
+    enc_transition="gru",
+    dec_transition="gru",
+    attention_type="content",
+    use_states_for_readout=False,
+    criterion={"name": "mse_gain", "min_reward": -5},
+    bottom={"bottom_class": "speech"},
+    subsample=[1],
+    post_merge_dims=[8],
+    max_decoded_length_scale=1.0,
+    data_prepend_eos=False,
+)
+
+
+def _make(criterion="mse_gain"):
+    cfg = dict(NET_CONFIG)
+    cfg["criterion"] = {"name": criterion, "min_reward": -5}
+    return SpeechRecognizer(cfg, init_config={
+        "/recognizer": {"weights_init": ["isotropic_gaussian", 0.3],
+                        "biases_init": ["constant", 0.0]}}, seed=3)
+
+
+def _batch(B=2, T=10, TL=5, seed=0):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(rng.randn(B, T, 5), jnp.float32),
+            jnp.ones((B, T), jnp.float32),
+            jnp.asarray(np.concatenate(
+                [rng.randint(0, 4, (B, TL - 1)), np.full((B, 1), 4)],
+                axis=1), jnp.int32),
+            jnp.ones((B, TL), jnp.float32))
+
+
+def test_mse_gain_cost_matches_manual():
+    """The jitted mse_gain cost equals a numpy recomputation from the
+    readouts and the reference reward DP."""
+    rec = _make("mse_gain")
+    net = rec.net
+    inputs, inputs_mask, labels, labels_mask = _batch()
+    out = jax.jit(lambda p, *a: net.apply(p, *a, method=net.cost))(
+        rec.params, inputs, inputs_mask, labels, labels_mask)
+    readouts = np.asarray(out["readouts"])        # (T, B, V)
+    labels_tm = np.asarray(labels).T
+    _, gains = batch_reward_and_gain(labels_tm, labels_tm, 5, 4)
+    gains = np.maximum(gains, -5)
+    expected = ((readouts - gains) ** 2).sum(-1)
+    assert_allclose(np.asarray(out["costs"]), expected, rtol=1e-4)
+    assert float(out["gain_mse_loss"]) > 0
+    assert float(out["reward_mse_loss"]) > 0
+
+
+def test_mse_reward_criterion_runs():
+    rec = _make("mse_reward")
+    net = rec.net
+    out = jax.jit(lambda p, *a: net.apply(p, *a, method=net.cost))(
+        rec.params, *_batch())
+    assert np.isfinite(np.asarray(out["costs"])).all()
+
+
+@pytest.mark.parametrize("exploration", ["imitative", "greedy", "mixed"])
+def test_task_loss_train_step(exploration):
+    rec = _make("mse_gain")
+    config = {
+        "net": dict(NET_CONFIG),
+        "training": {"gradient_threshold": 100.0, "rules": ["momentum"],
+                     "scale": 0.001, "momentum": 0.0,
+                     "exploration": exploration},
+        "regularization": {},
+    }
+    optimizer = build_optimizer(config["training"], {})
+    step = jax.jit(make_train_step(rec, optimizer, config, eos_label=4,
+                                   input_key="recordings"))
+    params = rec.params
+    opt_state = optimizer.init(params)
+    batch = _batch()
+    costs = []
+    for i in range(3):
+        params, opt_state, monitors = step(
+            params, opt_state, jax.random.PRNGKey(i), *batch)
+        costs.append(float(monitors["train_cost"]))
+    assert all(np.isfinite(c) for c in costs)
+    # gradient steps reduce the regression loss on a fixed batch
+    assert costs[-1] < costs[0]
+
+
+def test_greedy_emission_is_argmax():
+    rec = _make("mse_gain")
+    net = rec.net
+    inputs, inputs_mask, *_ = _batch()
+    out = jax.jit(lambda p, x, m: net.apply(p, x, m, 4,
+                                            jax.random.PRNGKey(0),
+                                            method=net.generate))(
+        rec.params, inputs, inputs_mask)
+    readouts = np.asarray(out["readouts"])
+    outputs = np.asarray(out["outputs"])
+    assert_allclose(outputs, readouts.argmax(-1))

@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""LM graph toolbox: the bin/*-LM utilities of the reference as one CLI.
+
+Subcommands (reference counterparts):
+
+* ``arpa2fst``       — ARPA -> text-format G.fst + symbol table
+                       (``bin/lm2fst.sh:1-139`` arpa2fst stage)
+* ``arpa-to-unigram``— keep the unigram section
+                       (``bin/arpa_lm_to_unigram_lm.py``)
+* ``arpa-to-dict``   — unigram section with weights removed
+                       (``bin/arpa_lm_to_dict_lm.py``)
+* ``dict-fst``       — word list -> char-trie dictionary FST
+                       (``create_character_lexicon.sh`` role)
+* ``create-lexicon`` — words.txt / characters.txt / lexicon.txt from ARPA
+                       (``bin/create_lexicon.py``)
+* ``explain``        — cost of a symbol sequence through an FST
+                       (``bin/explain_lm.py``)
+* ``check-zero``     — all arcs weight-free?
+                       (``bin/check_all_fst_weights_are_zero.py``)
+* ``strip-weights``  — zero out all weights (``bin/remove_fst_weights.py``)
+* ``pack``           — precompute dense device tables -> .npz
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from attention_lvcsr_tpu.ops import fst as F
+
+
+def cmd_arpa2fst(args):
+    arpa = F.read_arpa(args.arpa)
+    tokens = sorted({w for grams in arpa.values() for ng in grams
+                     for w in ng if w not in ("<s>", "</s>")})
+    syms = {"<eps>": 0}
+    for t in tokens:
+        syms[t] = len(syms)
+    fst = F.arpa_to_fst(arpa, syms)
+    F.write_fst_text(fst, args.out)
+    F.write_symbols(args.out + ".syms", syms)
+    print(f"wrote {args.out} ({fst.num_states} states) + .syms")
+
+
+def _unigram_lines(path, strip_weights):
+    out = ["\\data\\"]
+    with open(path) as f:
+        lines = f.readlines()
+    n1 = next(l.strip() for l in lines if l.strip().startswith("ngram 1="))
+    out.append(n1)
+    out.append("\\1-grams:")
+    in_uni = False
+    for line in lines:
+        s = line.strip()
+        if s.startswith("\\1-grams"):
+            in_uni = True
+            continue
+        if in_uni:
+            if s.startswith("\\"):
+                break
+            if not s:
+                continue
+            parts = s.split()
+            if strip_weights:
+                out.append(f"0 {parts[1]}")
+            else:
+                out.append(" ".join(parts[:2]))
+    out.append("\\end\\")
+    return out
+
+
+def cmd_arpa_to_unigram(args):
+    for line in _unigram_lines(args.arpa, strip_weights=False):
+        print(line, file=args_outfile(args))
+
+
+def cmd_arpa_to_dict(args):
+    for line in _unigram_lines(args.arpa, strip_weights=True):
+        print(line, file=args_outfile(args))
+
+
+def args_outfile(args):
+    return open(args.out, "w") if args.out != "-" else sys.stdout
+
+
+def cmd_dict_fst(args):
+    with open(args.words) as f:
+        words = [l.split()[0] for l in f if l.strip()]
+    chars = {"<eps>": 0, "<spc>": 1}
+    for w in words:
+        for ch in w:
+            chars.setdefault(ch, len(chars))
+    fst = F.dict_char_lm_fst(words, chars)
+    F.write_fst_text(fst, args.out)
+    F.write_symbols(args.out + ".syms", chars)
+    print(f"wrote {args.out} ({fst.num_states} states) + .syms")
+
+
+def cmd_create_lexicon(args):
+    arpa = F.read_arpa(args.arpa)
+    chars = {"<eps>": 0, "<spc>": 1, "#0": 2}
+    words = {"<eps>": 0, "<UNK>": 1, "</s>": 2, "<s>": 3, "<spc>": 4,
+             "#0": 5}
+    with open("lexicon.txt", "w") as fl:
+        for (word,) in arpa.get(1, {}):
+            if word.startswith("<") or word.startswith("#"):
+                continue
+            words[word] = len(words)
+            fl.write(f"{word} {' '.join(word)}\n")
+            for ch in word:
+                chars.setdefault(ch, len(chars))
+    F.write_symbols("words.txt", words)
+    F.write_symbols("characters.txt", chars)
+    print(f"wrote lexicon.txt, words.txt ({len(words)}), "
+          f"characters.txt ({len(chars)})")
+
+
+def _load(args):
+    import os
+    isyms = None
+    if os.path.exists(args.fst + ".syms"):
+        isyms = F.read_symbols(args.fst + ".syms")
+    return F.read_fst_text(args.fst, isyms=isyms), isyms
+
+
+def cmd_explain(args):
+    fst, isyms = _load(args)
+    tokens = args.symbols
+    if isyms:
+        seq = [isyms[t] if t in isyms else int(t) for t in tokens]
+    else:
+        seq = [int(t) for t in tokens]
+    cost = fst.explain(seq, verbose=args.verbose, tropical=args.tropical)
+    print(f"total cost: {cost}")
+
+
+def cmd_check_zero(args):
+    fst, _ = _load(args)
+    bad = [(s, a) for s, arcs in fst.arcs.items() for a in arcs
+           if abs(a.weight) > 1e-9]
+    bad += [(s, w) for s, w in fst.finals.items() if abs(w) > 1e-9]
+    if bad:
+        print(f"NOT weight-free: {len(bad)} weighted arcs/finals")
+        sys.exit(1)
+    print("all weights are zero")
+
+
+def cmd_strip_weights(args):
+    fst, isyms = _load(args)
+    for arcs in fst.arcs.values():
+        for a in arcs:
+            a.weight = 0.0
+    fst.finals = {s: 0.0 for s in fst.finals}
+    F.write_fst_text(fst, args.out)
+    print(f"wrote {args.out}")
+
+
+def cmd_pack(args):
+    fst, isyms = _load(args)
+    if not isyms:
+        raise SystemExit("pack requires a .syms symbol table")
+    nn_map = {}
+    if args.char_map:
+        nn_map = F.read_symbols(args.char_map)
+    else:
+        nn_map = {s: i for i, (s, _) in enumerate(
+            sorted(isyms.items(), key=lambda kv: kv[1])) if s != "<eps>"}
+    remap = {nn: isyms[ch] for ch, nn in nn_map.items() if ch in isyms}
+    packed = F.pack_fst(fst, remap,
+                        num_nn_symbols=max(nn_map.values()) + 1,
+                        max_states=args.max_states,
+                        no_transition_cost=args.no_transition_cost)
+    np.savez(args.out, next_state=packed.next_state,
+             next_weight=packed.next_weight,
+             total_weight=packed.total_weight,
+             start_states=packed.start_states,
+             start_weights=packed.start_weights)
+    print(f"packed {args.fst} -> {args.out} "
+          f"tables {packed.next_state.shape}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("arpa2fst")
+    a.add_argument("arpa"); a.add_argument("out")
+    a.set_defaults(fn=cmd_arpa2fst)
+
+    a = sub.add_parser("arpa-to-unigram")
+    a.add_argument("arpa"); a.add_argument("out", default="-", nargs="?")
+    a.set_defaults(fn=cmd_arpa_to_unigram)
+
+    a = sub.add_parser("arpa-to-dict")
+    a.add_argument("arpa"); a.add_argument("out", default="-", nargs="?")
+    a.set_defaults(fn=cmd_arpa_to_dict)
+
+    a = sub.add_parser("dict-fst")
+    a.add_argument("words"); a.add_argument("out")
+    a.set_defaults(fn=cmd_dict_fst)
+
+    a = sub.add_parser("create-lexicon")
+    a.add_argument("arpa")
+    a.set_defaults(fn=cmd_create_lexicon)
+
+    a = sub.add_parser("explain")
+    a.add_argument("fst"); a.add_argument("symbols", nargs="+")
+    a.add_argument("--verbose", action="store_true")
+    a.add_argument("--tropical", action="store_true")
+    a.set_defaults(fn=cmd_explain)
+
+    a = sub.add_parser("check-zero")
+    a.add_argument("fst")
+    a.set_defaults(fn=cmd_check_zero)
+
+    a = sub.add_parser("strip-weights")
+    a.add_argument("fst"); a.add_argument("out")
+    a.set_defaults(fn=cmd_strip_weights)
+
+    a = sub.add_parser("pack")
+    a.add_argument("fst"); a.add_argument("out")
+    a.add_argument("--char-map", default=None)
+    a.add_argument("--max-states", type=int, default=7)
+    a.add_argument("--no-transition-cost", type=float, default=1e12)
+    a.set_defaults(fn=cmd_pack)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
