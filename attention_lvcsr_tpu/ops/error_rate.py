@@ -181,6 +181,19 @@ def batch_reward_and_gain(groundtruth, recognized, alphabet_size, eos_label,
     if groundtruth.ndim != 2 or recognized.ndim != 2 \
             or groundtruth.shape[1] != recognized.shape[1]:
         raise ValueError("expected (T, B) int matrices with equal batch")
+    # fast path: native C++ batch DP (ops/native.py); requires every
+    # groundtruth column to contain EOS (the python path would raise
+    # otherwise, keeping the two paths equivalent).
+    if np.isin(eos_label, groundtruth, assume_unique=False) and \
+            (groundtruth == eos_label).any(axis=0).all():
+        from attention_lvcsr_tpu.ops import native
+        result = native.batch_reward_and_gain_native(
+            groundtruth, recognized, alphabet_size, eos_label)
+        if result is not None:
+            rewards, gains = result
+            if min_reward is not None:
+                gains = np.maximum(gains, min_reward)
+            return rewards, gains
     T, B = recognized.shape
     alphabet = list(range(alphabet_size))
     all_rewards = np.zeros((T, B, alphabet_size), dtype=np.int64)
