@@ -55,9 +55,24 @@ class BaseAttention(nn.Module):
         raise NotImplementedError
 
 
-def _weighted_average(weights, attended):
-    # (B, L) x (B, L, D) -> (B, D)
-    return jnp.einsum("bl,bld->bd", weights, attended)
+def _weighted_average(weights, attended, beam=1):
+    # (B, L) x (B, L, D) -> (B, D); with beam: (U*K, L) x (U, L, D)
+    if beam == 1:
+        return jnp.einsum("bl,bld->bd", weights, attended)
+    U = attended.shape[0]
+    out = jnp.einsum("ukl,uld->ukd",
+                     weights.reshape(U, beam, -1), attended)
+    return out.reshape(U * beam, -1)
+
+
+def _expand_mask(mask, beam):
+    """(U, L) 0/1 mask -> (U*K, L) view without materializing K copies
+    until the consuming op (XLA broadcasts lazily inside fusions)."""
+    if mask is None or beam == 1:
+        return mask
+    U, L = mask.shape
+    return jnp.broadcast_to(mask[:, None, :], (U, beam, L)).reshape(
+        U * beam, L)
 
 
 class SequenceContentAttention(BaseAttention):
@@ -82,35 +97,51 @@ class SequenceContentAttention(BaseAttention):
 
     def initial_glimpses(self, batch_size, attended):
         length = attended.shape[1]
+        dtype = attended.dtype
         return {
-            "weighted_averages": jnp.zeros((batch_size, self.attended_dim)),
-            "weights": jnp.zeros((batch_size, length)),
+            "weighted_averages": jnp.zeros((batch_size, self.attended_dim),
+                                           dtype),
+            "weights": jnp.zeros((batch_size, length), dtype),
         }
 
-    def compute_energies(self, preprocessed_attended, states):
-        match = preprocessed_attended
+    def compute_energies(self, preprocessed_attended, states, beam=1):
+        """``beam > 1``: per-hypothesis states (U*beam, d) attend over a
+        shared per-utterance ``preprocessed_attended`` (U, L, M) — the
+        attended tensors are read once per utterance instead of once per
+        hypothesis (the decode hot path is HBM-bound)."""
+        state_sum = 0.0
         for name in self.state_names:
-            match = match + self.state_trans[name](states[name])[:, None, :]
-        return self.energy(jnp.tanh(match))[..., 0]  # (B, L)
+            state_sum = state_sum + self.state_trans[name](states[name])
+        if beam == 1:
+            match = preprocessed_attended + state_sum[:, None, :]
+            return self.energy(jnp.tanh(match))[..., 0]  # (B, L)
+        U = preprocessed_attended.shape[0]
+        match = (preprocessed_attended[:, None, :, :] +
+                 state_sum.reshape(U, beam, 1, -1))
+        return self.energy(jnp.tanh(match))[..., 0].reshape(
+            U * beam, -1)
 
     def take_glimpses(self, attended, preprocessed_attended, attended_mask,
-                      glimpses, states):
+                      glimpses, states, beam=1):
         if preprocessed_attended is None:
             preprocessed_attended = self.preprocess(attended)
-        energies = self.compute_energies(preprocessed_attended, states)
+        energies = self.compute_energies(preprocessed_attended, states,
+                                         beam=beam)
+        mask = _expand_mask(attended_mask, beam)
         # Softmax with the reference's all-masked guard
         # (blocks/bricks/attention.py:229-235).
         m = jnp.max(energies, axis=1, keepdims=True)
         unnorm = jnp.exp(energies - m)
-        if attended_mask is not None:
-            unnorm = unnorm * attended_mask
+        if mask is not None:
+            unnorm = unnorm * mask
             denom = unnorm.sum(axis=1, keepdims=True) + jnp.all(
-                attended_mask == 0, axis=1, keepdims=True)
+                mask == 0, axis=1, keepdims=True)
         else:
             denom = unnorm.sum(axis=1, keepdims=True)
         weights = unnorm / denom
         return {
-            "weighted_averages": _weighted_average(weights, attended),
+            "weighted_averages": _weighted_average(weights, attended,
+                                                   beam=beam),
             "weights": weights,
         }
 
@@ -165,11 +196,13 @@ class SequenceContentAndConvAttention(BaseAttention):
 
     def initial_glimpses(self, batch_size, attended):
         length = attended.shape[1]
+        dtype = attended.dtype
         onehot = jnp.concatenate(
-            [jnp.ones((batch_size, 1)), jnp.zeros((batch_size, length - 1))],
-            axis=1)
+            [jnp.ones((batch_size, 1), dtype),
+             jnp.zeros((batch_size, length - 1), dtype)], axis=1)
         return {
-            "weighted_averages": jnp.zeros((batch_size, self.attended_dim)),
+            "weighted_averages": jnp.zeros((batch_size, self.attended_dim),
+                                           dtype),
             "weights": onehot,
             "energies": onehot,
             "step": jnp.zeros((batch_size,), dtype=jnp.int32),
@@ -213,16 +246,27 @@ class SequenceContentAndConvAttention(BaseAttention):
         raise ValueError(f"Unknown prior type: {prior_type}")
 
     def compute_energies(self, preprocessed_attended, windowed_weights,
-                         states):
-        match = preprocessed_attended
+                         states, beam=1):
+        """``beam > 1``: shared (U, L, M) preprocessed attended broadcast
+        over per-hypothesis states/weights (see the content attention's
+        compute_energies note)."""
+        state_sum = 0.0
         for name in self.state_names:
-            match = match + self.state_trans[name](states[name])[:, None, :]
+            state_sum = state_sum + self.state_trans[name](states[name])
         # 'same' true-convolution over previous alignment weights
         # (full conv trimmed by conv_n on both sides, lvsr attention.py:108-111).
         conv = conv1d(windowed_weights, self.conv_filters,
                       border_mode="full")[:, :, self.conv_n:-self.conv_n]
-        match = match + self.filter_handler(conv.transpose(0, 2, 1))
-        return self.energy(jnp.tanh(match))[..., 0]  # (B, L)
+        conv_proj = self.filter_handler(conv.transpose(0, 2, 1))
+        if beam == 1:
+            match = (preprocessed_attended + state_sum[:, None, :]
+                     + conv_proj)
+            return self.energy(jnp.tanh(match))[..., 0]  # (B, L)
+        U, L = preprocessed_attended.shape[:2]
+        match = (preprocessed_attended[:, None, :, :]
+                 + state_sum.reshape(U, beam, 1, -1)
+                 + conv_proj.reshape(U, beam, L, -1))
+        return self.energy(jnp.tanh(match))[..., 0].reshape(U * beam, L)
 
     def _normalize(self, energies, global_mask, combined_mask):
         if self.energy_normalizer == "softmax":
@@ -244,7 +288,7 @@ class SequenceContentAndConvAttention(BaseAttention):
         return unnorm / denom
 
     def take_glimpses(self, attended, preprocessed_attended, attended_mask,
-                      glimpses, states):
+                      glimpses, states, beam=1):
         if preprocessed_attended is None:
             preprocessed_attended = self.preprocess(attended)
         weights = glimpses["weights"]
@@ -254,16 +298,18 @@ class SequenceContentAndConvAttention(BaseAttention):
 
         global_mask, additional = self._window(weights, step, length, dtype)
         combined = global_mask
-        if attended_mask is not None:
-            combined = combined * attended_mask
+        mask = _expand_mask(attended_mask, beam)
+        if mask is not None:
+            combined = combined * mask
         if additional is not None:
             combined = combined * additional
 
         energies = self.compute_energies(
-            preprocessed_attended, weights * global_mask, states)
+            preprocessed_attended, weights * global_mask, states, beam=beam)
         new_weights = self._normalize(energies, global_mask, combined)
         return {
-            "weighted_averages": _weighted_average(new_weights, attended),
+            "weighted_averages": _weighted_average(new_weights, attended,
+                                                   beam=beam),
             "weights": new_weights,
             "energies": energies * global_mask,
             "step": step + 1,

@@ -483,16 +483,19 @@ class SequenceGenerator(nn.Module):
         return reward_mse_matrix, aux
 
     # -- one-step decode interface ----------------------------------------
-    def score_step(self, carry, contexts):
+    def score_step(self, carry, contexts, beam=1):
         """Glimpses + per-symbol continuation costs for the current step.
 
-        ``contexts`` = dict(attended, preprocessed, attended_mask).
+        ``contexts`` = dict(attended, preprocessed, attended_mask).  With
+        ``beam > 1`` the contexts are per-utterance (U, ...) while the
+        carry rows are per-hypothesis (U*beam, ...) — the attention
+        broadcasts instead of reading K copies of the attended.
         Returns (glimpses, costs (B, V), readouts).
         """
         g_new = self.attention.take_glimpses(
             contexts["attended"], contexts["preprocessed"],
             contexts["attended_mask"], carry["glimpses"],
-            self._att_states(carry["states"]))
+            self._att_states(carry["states"]), beam=beam)
         feedback_prev = self.feedback(carry["outputs"])
         sources = self._readout_sources(
             carry["states"], g_new, feedback_prev, carry.get("lm"))

@@ -207,8 +207,8 @@ class RecognizerNet(nn.Module):
         return self.generator.initial_states(batch_size,
                                              contexts["attended"])
 
-    def decode_score(self, carry, contexts):
-        return self.generator.score_step(carry, contexts)
+    def decode_score(self, carry, contexts, beam=1):
+        return self.generator.score_step(carry, contexts, beam=beam)
 
     def decode_advance(self, carry, g_new, outputs, contexts):
         return self.generator.advance_states(carry, g_new, outputs, contexts)
@@ -317,6 +317,8 @@ class SpeechRecognizer:
                  init_config: Optional[Mapping] = None, seed: int = 1234,
                  params=None):
         self.net_config = dict(net_config)
+        # decode-time compute dtype (not a network-architecture option)
+        self.compute_dtype = self.net_config.pop("compute_dtype", None)
         self.net = RecognizerNet(**self.net_config)
         self.eos_label = self.net_config["eos_label"]
         self.num_phonemes = self.net_config["num_phonemes"]
@@ -403,12 +405,16 @@ class SpeechRecognizer:
         }
 
     # -- beam search -------------------------------------------------------
-    def init_beam_search(self, beam_size):
+    def init_beam_search(self, beam_size, compute_dtype="default"):
         from attention_lvcsr_tpu.search.beam import BeamSearch
-        if self._beam_search is not None and self.beam_size == beam_size:
+        if compute_dtype == "default":
+            compute_dtype = self.compute_dtype
+        if self._beam_search is not None and self.beam_size == beam_size \
+                and self._beam_search.compute_dtype == compute_dtype:
             return
         self.beam_size = beam_size
-        self._beam_search = BeamSearch(self, beam_size)
+        self._beam_search = BeamSearch(self, beam_size,
+                                       compute_dtype=compute_dtype)
 
     def beam_search(self, inputs, inputs_mask=None, **kwargs):
         """Decode a single utterance or a batch; see search.beam."""

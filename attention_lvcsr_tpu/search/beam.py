@@ -47,10 +47,13 @@ class CandidateNotFoundError(Exception):
 
 
 class BeamSearch:
-    def __init__(self, recognizer, beam_size: int):
+    def __init__(self, recognizer, beam_size: int, compute_dtype=None):
         self.recognizer = recognizer
         self.net = recognizer.net
         self.beam_size = beam_size
+        # 'bfloat16' halves the HBM traffic of the (bandwidth-bound)
+        # decode; candidate ranking stays in float32 regardless.
+        self.compute_dtype = compute_dtype
         self._jitted = {}
 
     # ------------------------------------------------------------------
@@ -100,11 +103,19 @@ class BeamSearch:
         L = inputs.shape[1]  # output buffer bound; max_length <= T frames
         V = self.recognizer.num_phonemes
 
+        if self.compute_dtype is not None:
+            dtype = jnp.dtype(self.compute_dtype)
+            cast = (lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            params = jax.tree.map(cast, params)
+            inputs = inputs.astype(dtype)
+            inputs_mask = inputs_mask.astype(dtype)
+
+        # contexts stay per-utterance (U, ...); the score step broadcasts
+        # over the beam axis instead of reading K copies of the attended.
         contexts = net.apply(params, inputs, inputs_mask,
                              method=net.decode_contexts)
-        contexts_uk = jax.tree.map(
-            lambda x: jnp.repeat(x, K, axis=0), contexts)
-        carry0 = net.apply(params, U * K, contexts_uk,
+        carry0 = net.apply(params, U * K, contexts,
                            method=net.decode_init)
 
         state = {
@@ -159,9 +170,11 @@ class BeamSearch:
             stopped = s["stopped"] | newly_stopped | beam_empty(s)
 
             # ---- expand ------------------------------------------------
-            g_new, costs_vec, _ = net.apply(params, s["carry"], contexts_uk,
-                                            method=net.decode_score)
-            logprobs = costs_vec.reshape(U, K, V)
+            g_new, costs_vec, _ = net.apply(params, s["carry"], contexts,
+                                            method=net.decode_score,
+                                            beam=K)
+            # rank in f32 even when the model computes in bf16
+            logprobs = costs_vec.astype(jnp.float32).reshape(U, K, V)
             next_costs = s["alive_costs"][:, :, None] + logprobs
             flat = next_costs.reshape(U, K * V)
             chosen_costs, flat_idx = jax.lax.top_k(-flat, K)
@@ -188,7 +201,7 @@ class BeamSearch:
 
             # ---- advance decoder states --------------------------------
             carry = net.apply(params, carry, g_sel, symbols.reshape(-1),
-                              contexts_uk, method=net.decode_advance)
+                              contexts, method=net.decode_advance)
 
             # ---- EOS retirement ----------------------------------------
             is_eos = symbols == eol_symbol

@@ -26,7 +26,7 @@ def main():
     from __graft_entry__ import FLAGSHIP_NET
     from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
 
-    BATCH = 16
+    BATCH = 64
     FRAMES = 800           # 8 s per utterance at 10 ms hop
     FRAME_S = 0.01
     BEAM = 10
@@ -39,7 +39,8 @@ def main():
         "/recognizer": {"weights_init": ["isotropic_gaussian", 0.1],
                         "biases_init": ["constant", 0.0],
                         "rec_weights_init": ["orthogonal"]}})
-    rec.init_beam_search(BEAM)
+    # decode computes in bf16 (candidate ranking stays f32)
+    rec.init_beam_search(BEAM, compute_dtype="bfloat16")
 
     rng = np.random.RandomState(0)
     inputs = rng.randn(BATCH, FRAMES, 123).astype("float32")
