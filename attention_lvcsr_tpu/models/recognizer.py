@@ -289,21 +289,41 @@ def initialize_params(shapes: Dict, init_config: Mapping[str, Mapping],
     return {"params": traverse_util.unflatten_dict(out)}
 
 
+_COLLECTION_PREFIXES = {"params": "recognizer", "noise": "adaptive_noise"}
+
+
 def param_path_dict(params) -> Dict[str, np.ndarray]:
-    """Flatten params to ``{'/recognizer/a/b/leaf': array}`` (checkpoints)."""
-    flat = traverse_util.flatten_dict(params["params"])
-    return {"/recognizer/" + "/".join(k): np.asarray(v)
-            for k, v in flat.items()}
+    """Flatten params to ``{'/recognizer/a/b/leaf': array}`` (checkpoints).
+
+    The trainable 'params' collection lives under ``/recognizer``; the
+    adaptive-noise log-variances (collection 'noise') under
+    ``/adaptive_noise`` (matching the reference's NoiseBrick naming,
+    lvsr/graph.py:36).  Non-trainable collections (e.g. packed FST
+    tables) are not checkpointed — they are rebuilt from their sources.
+    """
+    out = {}
+    for collection, prefix in _COLLECTION_PREFIXES.items():
+        if collection not in params:
+            continue
+        flat = traverse_util.flatten_dict(params[collection])
+        out.update({f"/{prefix}/" + "/".join(k): np.asarray(v)
+                    for k, v in flat.items()})
+    return out
 
 
 def params_from_path_dict(path_dict: Mapping[str, np.ndarray]):
-    flat = {}
+    by_collection: Dict[str, Dict] = {}
+    inverse = {p: c for c, p in _COLLECTION_PREFIXES.items()}
     for key, value in path_dict.items():
         parts = tuple(key.lstrip("/").split("/"))
-        if parts[0] == "recognizer":
+        collection = inverse.get(parts[0])
+        if collection is not None:
             parts = parts[1:]
-        flat[parts] = jnp.asarray(value)
-    return {"params": traverse_util.unflatten_dict(flat)}
+        else:
+            collection = "params"
+        by_collection.setdefault(collection, {})[parts] = jnp.asarray(value)
+    return {c: traverse_util.unflatten_dict(flat)
+            for c, flat in by_collection.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -109,9 +109,8 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
     reg = config.get("regularization", {}) or {}
     train_conf = config.get("training", {}) or {}
     if reg.get("adaptive_noise"):
-        raise NotImplementedError(
-            "adaptive (variational) weight noise is not implemented yet "
-            "(planned; see SURVEY.md §7 item 7)")
+        return make_adaptive_noise_train_step(
+            recognizer, optimizer, config, input_key=input_key)
     noise_std = float(reg.get("noise", 0.0) or 0.0)
     decay = float(reg.get("decay", 0.0) or 0.0)
     penalty_coof = float(reg.get("penalty_coof", 0.0) or 0.0)
@@ -221,6 +220,125 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
     return step
 
 
+LOG_SIGMA_SCALE = 2048.0
+
+
+def init_adaptive_noise_params(recognizer, init_sigma=1e-6):
+    """Add the per-parameter log-variance tree (collection 'noise')."""
+    init_val = float(np.log(init_sigma) * 2.0 / LOG_SIGMA_SCALE)
+    ls2 = jax.tree.map(lambda p: jnp.full(p.shape, init_val, jnp.float32),
+                      recognizer.params["params"])
+    recognizer.params = dict(recognizer.params, noise=ls2)
+    return recognizer.params
+
+
+def make_adaptive_noise_train_step(recognizer, optimizer, config, *,
+                                   input_key="recordings"):
+    """Graves'11 adaptive (variational) weight noise training step.
+
+    Re-design of ``lvsr/graph.py:71-251`` (``apply_adaptive_noise``):
+    every model parameter becomes a Gaussian with learned mean (the
+    original parameter) and learned per-entry variance
+    ``exp(LOG_SIGMA_SCALE * ls2)``; the forward pass samples the weights,
+    the KL-style "model cost" against the empirical Gaussian prior is
+    added, and both means and log-variances get the reference's custom
+    gradients — including the diagonal-Hessian estimate ``g**2``, which
+    (as in the reference, graph.py:232-236) assumes batch size 1.
+    """
+    net = recognizer.net
+    reg = config.get("regularization", {}) or {}
+    conf = dict(reg.get("adaptive_noise") or {})
+    init_sigma = float(conf.get("init_sigma", 1e-6))
+    coeff = float(conf.get("model_cost_coefficient", 1.0))
+    num_examples = int(conf.get("num_examples", 1))
+
+    if "noise" not in recognizer.params:
+        init_adaptive_noise_params(recognizer, init_sigma)
+    static_collections = {k: v for k, v in recognizer.params.items()
+                          if k not in ("params", "noise")}
+
+    def step(params, opt_state, rng, inputs, inputs_mask, labels,
+             labels_mask):
+        import optax
+        model = params["params"]
+        ls2 = params["noise"]
+        B = labels.shape[0]
+
+        s2 = jax.tree.map(lambda l: jnp.exp(l * LOG_SIGMA_SCALE), ls2)
+        leaves = jax.tree_util.tree_leaves(model)
+        keys = jax.random.split(rng, len(leaves))
+        keys = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(model), list(keys))
+        noise = jax.tree.map(
+            lambda p, v, k: jax.random.normal(k, p.shape, p.dtype)
+            * jnp.sqrt(v), model, s2, keys)
+
+        # empirical prior over all noisy parameters (graph.py:185-198)
+        total_sum = sum(p.sum() for p in leaves)
+        total_count = sum(p.size for p in leaves)
+        prior_u = total_sum / total_count
+        prior_s2 = (sum(v.sum() for v in jax.tree_util.tree_leaves(s2))
+                    + sum(((p - prior_u) ** 2).sum() for p in leaves)
+                    ) / total_count
+
+        def task_loss(m):
+            noisy = jax.tree.map(lambda p, n: p + n, m,
+                                 jax.lax.stop_gradient(noise))
+            out = net.apply({**static_collections, "params": noisy},
+                            inputs, inputs_mask, labels, labels_mask,
+                            method=net.cost)
+            cost = out["costs"].sum() / B
+            monitors = {
+                "sequence_total_cost": cost,
+                "batch_size": jnp.float32(B),
+                "weights_entropy": entropy(out["weights"], labels_mask.T),
+                "weights_penalty": monotonicity_penalty(
+                    out["weights"], labels_mask.T),
+            }
+            return cost, monitors
+
+        (task_cost, monitors), g = jax.value_and_grad(
+            task_loss, has_aux=True)(model)
+
+        # model cost (graph.py:206-214)
+        model_cost = sum(
+            0.5 * (jnp.log(prior_s2) - l * LOG_SIGMA_SCALE).sum()
+            + (1.0 / (2.0 * prior_s2))
+            * (((p - prior_u) ** 2) + v - prior_s2).sum()
+            for p, l, v in zip(
+                leaves, jax.tree_util.tree_leaves(ls2),
+                jax.tree_util.tree_leaves(s2)))
+        model_cost = model_cost / num_examples * coeff
+
+        # custom gradients (graph.py:236-249); prior treated as constant
+        pu = jax.lax.stop_gradient(prior_u)
+        ps2 = jax.lax.stop_gradient(prior_s2)
+        g_model = jax.tree.map(
+            lambda p, gr: gr + coeff * (p - pu) / (num_examples * ps2),
+            model, g)
+        g_ls2 = jax.tree.map(
+            lambda v, gr: (coeff * 0.5 / num_examples * LOG_SIGMA_SCALE)
+            * (v / ps2 - 1.0)
+            + 0.5 * LOG_SIGMA_SCALE * v * gr ** 2,
+            s2, g)
+
+        grads = {"params": g_model, "noise": g_ls2}
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        monitors.update({
+            "train_cost": task_cost + model_cost,
+            "model_cost": model_cost,
+            "model_prior_mean": prior_u,
+            "model_prior_variance": prior_s2,
+            "total_gradient_norm": grad_norm,
+            "total_step_norm": optax.global_norm(updates),
+        })
+        return new_params, new_opt_state, monitors
+
+    return step
+
+
 def make_eval_fn(recognizer: SpeechRecognizer, input_key: str):
     """Validation cost function with weighted aggregation
     (DataStreamMonitoring observables, lvsr/main.py:550-553)."""
@@ -269,6 +387,18 @@ def initialize_all(config, save_path, params_path=None, fast_start=False,
     input_key = ("recordings"
                  if "recordings" in recognizer.net_config["input_dims"]
                  else "inputs")
+
+    adaptive_conf = (config.get("regularization", {}) or {}).get(
+        "adaptive_noise")
+    if adaptive_conf is not None and adaptive_conf is not False:
+        adaptive_conf = dict(adaptive_conf or {})
+        adaptive_conf.setdefault("num_examples",
+                                 data.get_dataset("train").num_examples)
+        config = dict(config)
+        config["regularization"] = dict(config.get("regularization", {}),
+                                        adaptive_noise=adaptive_conf)
+        init_adaptive_noise_params(
+            recognizer, float(adaptive_conf.get("init_sigma", 1e-6)))
 
     optimizer = build_optimizer(train_conf,
                                 config.get("regularization", {}))
