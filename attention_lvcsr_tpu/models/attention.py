@@ -166,6 +166,10 @@ class SequenceContentAndConvAttention(BaseAttention):
     conv_num_filters: int = 1
     prior: Optional[Mapping[str, Any]] = None
     energy_normalizer: str = "softmax"
+    # 'auto': fused Pallas energy kernel on TPU for the beam decode path;
+    # 'interpret': force the kernel in interpreter mode (tests);
+    # 'never': always the XLA path.
+    use_pallas: str = "auto"
 
     glimpse_names = ("weighted_averages", "weights", "energies", "step")
 
@@ -257,6 +261,10 @@ class SequenceContentAndConvAttention(BaseAttention):
         # (full conv trimmed by conv_n on both sides, lvsr attention.py:108-111).
         conv = conv1d(windowed_weights, self.conv_filters,
                       border_mode="full")[:, :, self.conv_n:-self.conv_n]
+        if beam > 1 and self._pallas_mode() is not None \
+                and self.conv_num_filters == 1:
+            return self._pallas_energies(preprocessed_attended, state_sum,
+                                         conv[:, 0, :], beam)
         conv_proj = self.filter_handler(conv.transpose(0, 2, 1))
         if beam == 1:
             match = (preprocessed_attended + state_sum[:, None, :]
@@ -267,6 +275,35 @@ class SequenceContentAndConvAttention(BaseAttention):
                  + state_sum.reshape(U, beam, 1, -1)
                  + conv_proj.reshape(U, beam, L, -1))
         return self.energy(jnp.tanh(match))[..., 0].reshape(U * beam, L)
+
+    def _pallas_mode(self):
+        if self.use_pallas == "never":
+            return None
+        if self.use_pallas == "interpret":
+            return "interpret"
+        if jax.default_backend() == "tpu":
+            return "compile"
+        return None
+
+    def _pallas_energies(self, pre, state_sum, conv_out, beam):
+        """Fused VMEM-resident energy kernel (ops/pallas/attention_energy).
+
+        The handler row / energy vector / bias are extracted by running
+        the tiny Dense layers on identity inputs (keeps the parameter
+        tree identical to the XLA path)."""
+        from attention_lvcsr_tpu.ops.pallas.attention_energy import (
+            beam_attention_energies)
+        dtype = pre.dtype
+        M = pre.shape[-1]
+        handler_w = self.filter_handler(jnp.ones((1, 1), dtype))[0]
+        if self.energy_normalizer != "softmax":
+            bias = self.energy(jnp.zeros((1, M), dtype))[0, 0]
+        else:
+            bias = jnp.zeros((), dtype)
+        v = self.energy(jnp.eye(M, dtype=dtype))[:, 0] - bias
+        return beam_attention_energies(
+            pre, state_sum, conv_out, handler_w, v, bias, beam=beam,
+            interpret=self._pallas_mode() == "interpret")
 
     def _normalize(self, energies, global_mask, combined_mask):
         if self.energy_normalizer == "softmax":
