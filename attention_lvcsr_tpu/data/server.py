@@ -1,0 +1,160 @@
+"""Cross-process data serving: numpy batches over sockets / processes.
+
+The Fuel roles (``fuel/server.py:12-131``: numpy-over-zmq protocol +
+``start_server``; ``fuel/streams.py:183``: ``ServerDataStream``;
+``fuel/transformers/__init__.py:822``: ``MultiProcessing`` prefetch)
+rebuilt on the standard library: a length-prefixed npz-over-TCP protocol,
+a push server that runs the data pipeline in its own process, and a
+process-based prefetcher for CPU-heavy pipelines (feature extraction,
+normalization) that would fight the host loop for the GIL.
+"""
+from __future__ import annotations
+
+import io
+import multiprocessing as mp
+import pickle
+import socket
+import struct
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+_MAGIC = b"LVSR"
+
+
+def send_batch(sock: socket.socket, batch: Dict[str, np.ndarray]):
+    """Send one batch dict (arrays and simple metadata)."""
+    buf = io.BytesIO()
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    other = {k: v for k, v in batch.items()
+             if not isinstance(v, np.ndarray)}
+    np.savez(buf, **arrays)
+    payload = buf.getvalue()
+    meta = pickle.dumps(other, protocol=4)
+    sock.sendall(_MAGIC + struct.pack("<QQ", len(payload), len(meta))
+                 + payload + meta)
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    chunks = []
+    while n:
+        chunk = sock.recv(min(n, 1 << 20))
+        if not chunk:
+            raise ConnectionError("data server closed the connection")
+        chunks.append(chunk)
+        n -= len(chunk)
+    return b"".join(chunks)
+
+
+def recv_batch(sock: socket.socket) -> Optional[Dict[str, np.ndarray]]:
+    header = _recv_exact(sock, len(_MAGIC) + 16)
+    if header[:4] != _MAGIC:
+        raise ValueError("bad protocol magic")
+    n_payload, n_meta = struct.unpack("<QQ", header[4:])
+    if n_payload == 0 and n_meta == 0:
+        return None  # end of epoch stream
+    payload = _recv_exact(sock, n_payload)
+    meta = pickle.loads(_recv_exact(sock, n_meta))
+    with np.load(io.BytesIO(payload), allow_pickle=False) as npz:
+        batch = {k: npz[k] for k in npz.files}
+    batch.update(meta)
+    return batch
+
+
+def start_server(stream_factory: Callable[[], Iterator], port: int = 0,
+                 host: str = "127.0.0.1", epochs: Optional[int] = None):
+    """Serve batches to one consumer; returns (process, port).
+
+    The pipeline runs inside a separate process (fuel-server role); each
+    connected client receives batches until the stream ends, then an
+    empty end-marker; with ``epochs=None`` the stream restarts per
+    connection indefinitely.
+    """
+    listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    listener.bind((host, port))
+    listener.listen(1)
+    actual_port = listener.getsockname()[1]
+
+    def serve():
+        served = 0
+        try:
+            while epochs is None or served < epochs:
+                conn, _ = listener.accept()
+                try:
+                    for batch in stream_factory():
+                        send_batch(conn, batch)
+                    conn.sendall(_MAGIC + struct.pack("<QQ", 0, 0))
+                    served += 1
+                except (BrokenPipeError, ConnectionError):
+                    pass
+                finally:
+                    conn.close()
+        finally:
+            listener.close()
+
+    proc = mp.get_context("fork").Process(target=serve, daemon=True)
+    proc.start()
+    listener.close()  # parent's copy
+    return proc, actual_port
+
+
+class ServerDataStream:
+    """Pull batches from a data server (fuel ServerDataStream role)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 5557):
+        self.host = host
+        self.port = port
+
+    def __iter__(self):
+        sock = socket.create_connection((self.host, self.port))
+        try:
+            while True:
+                batch = recv_batch(sock)
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            sock.close()
+
+
+class MultiProcessStream:
+    """Process-based prefetch of a stream factory (fuel MultiProcessing).
+
+    Unlike :class:`attention_lvcsr_tpu.data.pipeline.Prefetcher` (thread),
+    the pipeline runs in a forked process — right for CPU-bound pipelines.
+    """
+    _DONE = "__done__"
+    _ERROR = "__error__"
+
+    def __init__(self, stream_factory: Callable[[], Iterator], depth=4):
+        self.stream_factory = stream_factory
+        self.depth = depth
+
+    def __iter__(self):
+        ctx = mp.get_context("fork")
+        queue = ctx.Queue(maxsize=self.depth)
+        factory = self.stream_factory
+
+        def worker():
+            try:
+                for batch in factory():
+                    queue.put(batch)
+                queue.put(MultiProcessStream._DONE)
+            except Exception as exc:  # pragma: no cover
+                queue.put((MultiProcessStream._ERROR, repr(exc)))
+
+        proc = ctx.Process(target=worker, daemon=True)
+        proc.start()
+        try:
+            while True:
+                item = queue.get()
+                if isinstance(item, str) and item == self._DONE:
+                    return
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == self._ERROR:
+                    raise RuntimeError(f"data worker failed: {item[1]}")
+                yield item
+        finally:
+            proc.terminate()
+            proc.join()

@@ -380,6 +380,98 @@ class CompilationStatistics(TrainingExtension):
             self.main_loop.log.status.update(stats)
 
 
+class Plot(SimpleExtension):
+    """Live training-curve plots written to disk every N batches.
+
+    The blocks-extras bokeh-server ``Plot`` role
+    (blocks_extras/extensions/plot.py:24-213) without a server: channel
+    groups are rendered to a PNG (and the raw series to a JSON file) so
+    any file viewer / web server can follow training.
+    """
+
+    def __init__(self, path, channels, **kwargs):
+        self.path = path
+        self.channels = channels
+        kwargs.setdefault("every_n_batches", 100)
+        kwargs.setdefault("after_epoch", True)
+        super().__init__(**kwargs)
+
+    def do(self, which_callback, *args):
+        import json
+        from attention_lvcsr_tpu.utils.notebook import plot_channels
+        log = self.main_loop.log
+        try:
+            plot_channels(log, self.channels, save_to=self.path + ".png")
+        except Exception as exc:  # plotting must never kill training
+            print(f"Plot: {exc}", file=sys.stderr)
+        series = {}
+        for group in self.channels:
+            for name in group:
+                times, values = log.channel(name)
+                series[name] = [
+                    [t, float(v)] for t, v in zip(times, values)
+                    if isinstance(v, (int, float))]
+        with open(self.path + ".json", "w") as f:
+            json.dump(series, f)
+
+
+class NanGuard(TrainingExtension):
+    """Abort loudly on non-finite monitored values.
+
+    The Theano ``NanGuardMode`` role
+    (theano/compile/nanguardmode.py:179) at the training-loop level: the
+    step-rule chain already neutralizes non-finite updates
+    (RemoveNotFinite), and the driver's FinishAfter condition stops on a
+    NaN gradient norm; this extension additionally raises immediately
+    when any monitored scalar goes non-finite, for debugging.  For
+    op-level tracing use ``JAX_DEBUG_NANS=1`` (jax.config.debug_nans).
+    """
+
+    def __init__(self, fields=("train_cost", "total_gradient_norm")):
+        self.fields = fields
+
+    def after_batch(self, batch):
+        row = self.main_loop.log.current_row
+        for name in self.fields:
+            value = row.get(name)
+            if isinstance(value, float) and not math.isfinite(value):
+                raise FloatingPointError(
+                    f"non-finite {name}={value} at iteration "
+                    f"{self.main_loop.log.status['iterations_done']}")
+
+
+class JaxProfiler(TrainingExtension):
+    """Capture a profiler trace of a window of training steps
+    (the Theano function-profiling / BLOCKS_PROFILE role at the device
+    level; view with xprof/tensorboard)."""
+
+    def __init__(self, logdir, start_batch=10, num_batches=5):
+        self.logdir = logdir
+        self.start_batch = start_batch
+        self.stop_batch = start_batch + num_batches
+        self._running = False
+
+    def before_batch(self, batch):
+        import jax
+        it = self.main_loop.log.status["iterations_done"]
+        if it == self.start_batch and not self._running:
+            jax.profiler.start_trace(self.logdir)
+            self._running = True
+
+    def after_batch(self, batch):
+        import jax
+        it = self.main_loop.log.status["iterations_done"]
+        if self._running and it >= self.stop_batch:
+            jax.profiler.stop_trace()
+            self._running = False
+
+    def after_training(self):
+        import jax
+        if self._running:
+            jax.profiler.stop_trace()
+            self._running = False
+
+
 class EmbedShell(TrainingExtension):
     """SIGUSR1 -> drop into pdb inside the running loop (the EmbedIPython
     role, blocks-extras embed_ipython.py:9-36, without requiring a TTY

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Build character-level LM decoding graphs (the bin/lm2fst.sh +
+# exp/wsj/make_all_wsj_graphs.sh role, OpenFST-free):
+#   - trigram/bigram ARPA -> G.fst (text format + symbol table)
+#   - unigram and weight-free dictionary variants
+#   - dense device tables (.npz) for the on-device runtime
+#
+# Usage: make_lm_graph.sh <lm.arpa> <out_dir>
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+ARPA=$1; OUT=${2:-lm_graphs}
+mkdir -p "$OUT"
+
+python tools/lm_tools.py arpa2fst "$ARPA" "$OUT/G.fst.txt"
+python tools/lm_tools.py arpa-to-unigram "$ARPA" "$OUT/unigram.arpa"
+python tools/lm_tools.py arpa-to-dict "$ARPA" "$OUT/dict.arpa"
+python tools/lm_tools.py create-lexicon "$ARPA"
+mv -f lexicon.txt words.txt characters.txt "$OUT/"
+python tools/lm_tools.py pack "$OUT/G.fst.txt" "$OUT/G.packed.npz"
+echo "graphs in $OUT"

@@ -1,0 +1,66 @@
+"""Data server / process prefetch / new extensions tests."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from attention_lvcsr_tpu.data.server import (MultiProcessStream,
+                                             ServerDataStream, start_server)
+from attention_lvcsr_tpu.train.extensions import (FinishAfter, NanGuard,
+                                                  Plot)
+from attention_lvcsr_tpu.train.loop import MainLoop
+
+
+def _batches():
+    for i in range(5):
+        yield {"x": np.full((2, 3), i, "float32"), "idx": i}
+
+
+def test_server_roundtrip():
+    proc, port = start_server(_batches, epochs=1)
+    try:
+        got = list(ServerDataStream(port=port))
+        assert len(got) == 5
+        np.testing.assert_allclose(got[3]["x"], 3.0)
+        assert got[3]["idx"] == 3
+    finally:
+        proc.terminate()
+
+
+def test_multiprocess_stream():
+    got = list(MultiProcessStream(_batches, depth=2))
+    assert len(got) == 5
+    np.testing.assert_allclose(got[-1]["x"], 4.0)
+
+
+class _Algo:
+    params = {}
+    opt_state = None
+
+    def __init__(self, costs):
+        self.costs = list(costs)
+
+    def process_batch(self, batch):
+        return {"train_cost": self.costs.pop(0),
+                "total_gradient_norm": 1.0}
+
+
+def test_nan_guard_raises():
+    loop = MainLoop(_Algo([1.0, float("nan")]),
+                    lambda: iter([{}, {}, {}]),
+                    extensions=[NanGuard(), FinishAfter(after_n_epochs=1)])
+    with pytest.raises(FloatingPointError):
+        loop.run()
+
+
+def test_plot_extension(tmp_path):
+    path = str(tmp_path / "curves")
+    loop = MainLoop(_Algo([3.0, 2.0, 1.0]),
+                    lambda: iter([{}, {}, {}]),
+                    extensions=[Plot(path, [["train_cost"]],
+                                     every_n_batches=0, after_epoch=True),
+                                FinishAfter(after_n_epochs=1)])
+    loop.run()
+    assert os.path.exists(path + ".json")
+    assert os.path.exists(path + ".png")
