@@ -166,8 +166,10 @@ class SequenceContentAndConvAttention(BaseAttention):
     conv_num_filters: int = 1
     prior: Optional[Mapping[str, Any]] = None
     energy_normalizer: str = "softmax"
-    # 'auto': fused Pallas energy kernel on TPU for the beam decode path;
-    # 'interpret': force the kernel in interpreter mode (tests);
+    # 'auto': Pallas energy kernel on TPU for the beam decode path;
+    # 'fused': additionally the one-kernel fused score step
+    #          (ops/pallas/decode_score.py);
+    # 'interpret': force kernels in interpreter mode (tests);
     # 'never': always the XLA path.
     use_pallas: str = "auto"
 
@@ -285,6 +287,9 @@ class SequenceContentAndConvAttention(BaseAttention):
             return "compile"
         return None
 
+    # make_attention passes use_pallas through from the net config
+    # ('net.use_pallas'), so configs can opt into the fused score step.
+
     def _pallas_energies(self, pre, state_sum, conv_out, beam):
         """Fused VMEM-resident energy kernel (ops/pallas/attention_energy).
 
@@ -355,7 +360,8 @@ class SequenceContentAndConvAttention(BaseAttention):
 
 def make_attention(attention_type: str, state_names, attended_dim, match_dim,
                    conv_n=None, conv_num_filters=1, prior=None,
-                   energy_normalizer=None, name=None) -> BaseAttention:
+                   energy_normalizer=None, use_pallas="auto",
+                   name=None) -> BaseAttention:
     if attention_type == "content":
         return SequenceContentAttention(
             state_names=tuple(state_names), attended_dim=attended_dim,
@@ -365,5 +371,6 @@ def make_attention(attention_type: str, state_names, attended_dim, match_dim,
             state_names=tuple(state_names), attended_dim=attended_dim,
             match_dim=match_dim, conv_n=conv_n,
             conv_num_filters=conv_num_filters, prior=prior,
-            energy_normalizer=energy_normalizer or "softmax", name=name)
+            energy_normalizer=energy_normalizer or "softmax",
+            use_pallas=use_pallas, name=name)
     raise ValueError(f"Unknown attention type {attention_type}")

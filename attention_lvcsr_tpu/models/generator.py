@@ -483,6 +483,79 @@ class SequenceGenerator(nn.Module):
         return reward_mse_matrix, aux
 
     # -- one-step decode interface ----------------------------------------
+    def fused_score_supported(self):
+        """Whether the one-kernel Pallas score step covers this config
+        (ops/pallas/decode_score.py)."""
+        from attention_lvcsr_tpu.models.attention import \
+            SequenceContentAndConvAttention
+        att = self.attention
+        return (isinstance(att, SequenceContentAndConvAttention)
+                and att.conv_num_filters == 1
+                and att.energy_normalizer == "softmax"
+                and not self.use_states_for_readout
+                and self.language_model is None
+                and self.dec_stack == 1
+                and type(self.readout) is Readout
+                and self.readout.post_merge_dims is not None
+                and len(self.readout.post_merge_dims) == 1
+                and "feedback" not in self.readout.source_names)
+
+    def fused_score_tables(self, length, dtype):
+        """Extract the dense tables the fused kernel needs.
+
+        Parameters are pulled through identity-input calls so the flax
+        parameter tree stays identical to the XLA path; XLA hoists these
+        loop-invariant extractions out of the decode loop (they are
+        computed once per search in decode_contexts)."""
+        from attention_lvcsr_tpu.ops.pallas.decode_score import toeplitz_band
+        att = self.attention
+        M = att.match_dim
+        S = self.dim_dec
+        D = att.attended_dim
+        state_name = self.state_names[0]
+        merge = self.readout.merge["weighted_averages"]
+        post = self.readout.post_merge[0]
+        R = self.readout.merged_dim
+        post_b = post(jnp.zeros((1, R), dtype))[0]
+        return {
+            "state_trans": att.state_trans[state_name](
+                jnp.eye(S, dtype=dtype)),
+            "handler": att.filter_handler(jnp.ones((1, 1), dtype))[0],
+            "v": att.energy(jnp.eye(M, dtype=dtype))[:, 0],
+            "merge_k": merge(jnp.eye(D, dtype=dtype)),
+            "merge_b": self.readout.merge_bias.astype(dtype),
+            "post_k": post(jnp.eye(R, dtype=dtype)) - post_b[None, :],
+            "post_b": post_b,
+            "toeplitz": toeplitz_band(
+                att.conv_filters.astype(jnp.float32), length),
+            "tri": jnp.triu(jnp.ones((length, length), jnp.float32)),
+        }
+
+    def _fused_score(self, carry, contexts, beam, interpret):
+        from attention_lvcsr_tpu.ops.pallas.decode_score import \
+            fused_decode_score
+        att = self.attention
+        p = att._prior()
+        t = contexts["fused_tables"]
+        g = carry["glimpses"]
+        costs, wnew, energies, wa = fused_decode_score(
+            contexts["preprocessed"], contexts["attended"],
+            contexts["attended_mask"], g["weights"], g["step"],
+            carry["states"][0]["states"], t["toeplitz"], t["tri"],
+            t["state_trans"], t["handler"], t["v"], t["merge_k"],
+            t["merge_b"], t["post_k"], t["post_b"], beam=beam,
+            prior=p.get("type", "expanding"),
+            before=float(p.get("before", 0.0)),
+            after=float(p.get("after", 0.0)),
+            initial_begin=float(p.get("initial_begin", 0.0)),
+            initial_end=float(p.get("initial_end", 1e4)),
+            min_speed=float(p.get("min_speed", 0.0)),
+            max_speed=float(p.get("max_speed", 0.0)),
+            interpret=interpret)
+        g_new = {"weighted_averages": wa, "weights": wnew,
+                 "energies": energies, "step": g["step"] + 1}
+        return g_new, costs, None
+
     def score_step(self, carry, contexts, beam=1):
         """Glimpses + per-symbol continuation costs for the current step.
 
@@ -492,6 +565,11 @@ class SequenceGenerator(nn.Module):
         broadcasts instead of reading K copies of the attended.
         Returns (glimpses, costs (B, V), readouts).
         """
+        if beam > 1 and "fused_tables" in contexts:
+            mode = getattr(self.attention, "_pallas_mode", lambda: None)()
+            if mode is not None:
+                return self._fused_score(carry, contexts, beam,
+                                         interpret=mode == "interpret")
         g_new = self.attention.take_glimpses(
             contexts["attended"], contexts["preprocessed"],
             contexts["attended_mask"], carry["glimpses"],

@@ -87,6 +87,8 @@ class RecognizerNet(nn.Module):
     # applies dropout 0.5 to the bottom output via graph surgery,
     # lvsr/main.py:402-404).
     dropout: bool = False
+    # Pallas kernel policy for the decode path (models/attention.py)
+    use_pallas: str = "auto"
 
     def setup(self):
         criterion = dict(self.criterion or {"name": "log_likelihood"})
@@ -111,7 +113,8 @@ class RecognizerNet(nn.Module):
             self.attention_type, state_names, dim_encoded,
             self.dim_matcher or self.dim_dec, conv_n=self.conv_n,
             conv_num_filters=self.conv_num_filters, prior=self.prior,
-            energy_normalizer=self.energy_normalizer)
+            energy_normalizer=self.energy_normalizer,
+            use_pallas=self.use_pallas)
 
         source_names = (list(state_names) if self.use_states_for_readout
                         else []) + ["weighted_averages"]
@@ -197,11 +200,22 @@ class RecognizerNet(nn.Module):
     # -- decode-step interface (used by search.beam) ----------------------
     def decode_contexts(self, inputs, inputs_mask):
         encoded, encoded_mask, _ = self.encode(inputs, inputs_mask)
-        return {
+        ctx = {
             "attended": encoded,
             "preprocessed": self.generator.attention.preprocess(encoded),
             "attended_mask": encoded_mask,
         }
+        att = self.generator.attention
+        pallas = getattr(att, "_pallas_mode", lambda: None)()
+        # the fully-fused score kernel is opt-in (use_pallas='fused'):
+        # measured slower than the XLA+energy-kernel path on the current
+        # runtime (sequential per-utterance grid), kept for iteration
+        if pallas is not None and \
+                getattr(att, "use_pallas", "") in ("fused", "interpret") \
+                and self.generator.fused_score_supported():
+            ctx["fused_tables"] = self.generator.fused_score_tables(
+                encoded.shape[1], encoded.dtype)
+        return ctx
 
     def decode_init(self, batch_size, contexts):
         return self.generator.initial_states(batch_size,
