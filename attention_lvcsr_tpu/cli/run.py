@@ -94,6 +94,11 @@ def main(argv=None):
     logging.basicConfig(
         level=getattr(logging, args.logging.upper(), logging.INFO),
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    # Honor JAX_PLATFORMS even in environments whose sitecustomize
+    # pre-registers a platform plugin (the env var alone loses that race).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     config = prepare_config(args)
 
     from attention_lvcsr_tpu.train import driver

@@ -128,7 +128,7 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
         TL = labels.shape[1]
 
         prediction = prediction_mask = None
-        if exploration in ("greedy", "mixed") and criterion.startswith("mse"):
+        if exploration in ("greedy", "mixed"):
             # lvsr/main.py:245-283 — feed the model's own (greedy)
             # predictions, mask after the first EOS (mask rolled so the
             # EOS step itself is still counted).

@@ -113,6 +113,29 @@ class TrainingLog:
             data[name] = [lookup.get(t) for t in times]
         return pandas.DataFrame(data, index=times)
 
+    def to_sqlite(self, path, table="log"):
+        """Dump the log to a sqlite database (the blocks sqlite log
+        backend role, blocks/log/sqlite.py)."""
+        import json
+        import sqlite3
+        conn = sqlite3.connect(path)
+        try:
+            conn.execute(f"DROP TABLE IF EXISTS {table}")
+            conn.execute(f"CREATE TABLE {table} "
+                         "(time INTEGER, name TEXT, value TEXT)")
+            rows = []
+            for name, col in self.columns.items():
+                for t, v in zip(col.times, col.values):
+                    try:
+                        payload = json.dumps(v)
+                    except TypeError:
+                        payload = json.dumps(repr(v))
+                    rows.append((t, name, payload))
+            conn.executemany(f"INSERT INTO {table} VALUES (?,?,?)", rows)
+            conn.commit()
+        finally:
+            conn.close()
+
     # -- (de)serialization -------------------------------------------------
     def state_dict(self):
         return {

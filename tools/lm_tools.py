@@ -146,6 +146,34 @@ def cmd_check_zero(args):
     print("all weights are zero")
 
 
+def cmd_check_deterministic(args):
+    """Extended-determinism check (bin/check_ext_deterministic.py role):
+    no state may have two non-epsilon arcs with the same input label, and
+    at most one epsilon arc."""
+    fst, _ = _load(args)
+    problems = 0
+    for s, arcs in fst.arcs.items():
+        seen = {}
+        eps = 0
+        for a in arcs:
+            if a.ilabel == F.EPSILON:
+                eps += 1
+                continue
+            if a.ilabel in seen:
+                problems += 1
+                if problems <= 10:
+                    print(f"state {s}: duplicate arcs for label {a.ilabel}")
+            seen[a.ilabel] = a
+        if eps > 1:
+            problems += 1
+            if problems <= 10:
+                print(f"state {s}: {eps} epsilon arcs")
+    if problems:
+        print(f"NOT ext-deterministic: {problems} problems")
+        sys.exit(1)
+    print("ext-deterministic")
+
+
 def cmd_strip_weights(args):
     fst, isyms = _load(args)
     for arcs in fst.arcs.values():
@@ -213,6 +241,10 @@ def main(argv=None):
     a = sub.add_parser("check-zero")
     a.add_argument("fst")
     a.set_defaults(fn=cmd_check_zero)
+
+    a = sub.add_parser("check-deterministic")
+    a.add_argument("fst")
+    a.set_defaults(fn=cmd_check_deterministic)
 
     a = sub.add_parser("strip-weights")
     a.add_argument("fst"); a.add_argument("out")
