@@ -117,18 +117,25 @@ class BeamSearch:
                              method=net.decode_contexts)
         carry0 = net.apply(params, U * K, contexts,
                            method=net.decode_init)
+        # the decode carry only needs the glimpses the attention consumes
+        # (weights + step) plus the weighted averages the transition
+        # consumes in the same step; output-only glimpses (energies) are
+        # dropped to save per-step gathers (kernel count is the decode
+        # loop's cost driver, not tensor sizes).
+        carry0["glimpses"] = {
+            k: v for k, v in carry0["glimpses"].items()
+            if k in ("weights", "step", "weighted_averages")}
 
+        # done-set scalars packed into one (U, K, 3) array
+        # [cost, adjusted, length]; invalid entries have adjusted = INF.
         state = {
             "carry": carry0,
             "alive_costs": jnp.tile(
                 jnp.where(jnp.arange(K) == 0, 0.0, INF)[None, :], (U, 1)),
             "alive_out": jnp.zeros((U, K, L), jnp.int32),
-            "alive_len": jnp.zeros((U, K), jnp.int32),
             "done_out": jnp.zeros((U, K, L), jnp.int32),
-            "done_cost": jnp.full((U, K), INF),
-            "done_adjusted": jnp.full((U, K), INF),
-            "done_len": jnp.zeros((U, K), jnp.int32),
-            "done_valid": jnp.zeros((U, K), bool),
+            "done_meta": jnp.tile(
+                jnp.asarray([INF, INF, 0.0])[None, None, :], (U, K, 1)),
             "i": jnp.int32(0),
             "patience": jnp.full((U,), PATIENCE, jnp.int32),
             "min_cost": jnp.full((U,), 1000.0),
@@ -144,10 +151,11 @@ class BeamSearch:
 
         def body(s):
             i = s["i"]
+            done_adjusted = s["done_meta"][:, :, 1]
+            done_valid = done_adjusted < INF / 2
             # ---- stopping bookkeeping (reference search.py:306-332) ----
-            has_done = s["done_valid"].any(axis=1)
-            best_adj = jnp.min(
-                jnp.where(s["done_valid"], s["done_adjusted"], INF), axis=1)
+            has_done = done_valid.any(axis=1)
+            best_adj = jnp.min(done_adjusted, axis=1)
             if stop_on == "patience":
                 improved = best_adj < s["min_cost"]
                 new_min = jnp.where(has_done & improved, best_adj,
@@ -160,14 +168,20 @@ class BeamSearch:
             else:  # optimistic_future_cost
                 new_min, new_patience = s["min_cost"], s["patience"]
                 kth_adj = jnp.max(
-                    jnp.where(s["done_valid"], s["done_adjusted"], -INF),
-                    axis=1)
+                    jnp.where(done_valid, done_adjusted, -INF), axis=1)
                 alive_min = jnp.min(s["alive_costs"], axis=1)
                 optimistic = alive_min - char_discount * \
                     max_length.astype(jnp.float32)
-                newly_stopped = (s["done_valid"].all(axis=1)
+                newly_stopped = (done_valid.all(axis=1)
                                  & (kth_adj < optimistic))
             stopped = s["stopped"] | newly_stopped | beam_empty(s)
+
+            # NOTE: stopped utterances are NOT frozen element-wise — their
+            # retired beams (all costs INF) cannot produce new done-set
+            # candidates (the prev_costs guard below), so their state
+            # evolves harmlessly.  Eliding the per-leaf freeze removes a
+            # dozen kernels from the loop body, which is what the step
+            # time is made of.
 
             # ---- expand ------------------------------------------------
             g_new, costs_vec, _ = net.apply(params, s["carry"], contexts,
@@ -185,74 +199,58 @@ class BeamSearch:
             # ---- gather hypotheses by source beam row ------------------
             gidx = (jnp.arange(U)[:, None] * K + beam_idx).reshape(-1)
             carry = jax.tree.map(lambda x: x[gidx], s["carry"])
+            g_new = {k: v for k, v in g_new.items()
+                     if k in ("weights", "step", "weighted_averages")}
             g_sel = jax.tree.map(lambda x: x[gidx], g_new)
             alive_out = jnp.take_along_axis(
                 s["alive_out"], beam_idx[:, :, None], axis=1)
-            alive_len = jnp.take_along_axis(s["alive_len"], beam_idx, axis=1)
             prev_costs = jnp.take_along_axis(s["alive_costs"], beam_idx,
                                              axis=1)
 
-            # ---- record symbol -----------------------------------------
-            alive_out = alive_out.at[
-                jnp.arange(U)[:, None], jnp.arange(K)[None, :],
-                jnp.minimum(alive_len, L - 1)].set(symbols)
-            alive_len = alive_len + 1
+            # ---- record symbol (every alive row has length i+1) ---------
+            alive_out = jax.lax.dynamic_update_index_in_dim(
+                alive_out, symbols, jnp.minimum(i, L - 1), axis=2)
+            alive_len = (i + 1).astype(jnp.float32)
             step_costs = chosen_costs - prev_costs
 
             # ---- advance decoder states --------------------------------
             carry = net.apply(params, carry, g_sel, symbols.reshape(-1),
                               contexts, method=net.decode_advance)
+            carry["glimpses"] = {
+                k: v for k, v in carry["glimpses"].items()
+                if k in ("weights", "step", "weighted_averages")}
 
             # ---- EOS retirement ----------------------------------------
             is_eos = symbols == eol_symbol
             if ignore_first_eol:
                 is_eos = is_eos & (i > 0)
-            finishing = is_eos & (step_costs < round_to_inf)
-            adjusted = chosen_costs - char_discount * \
-                (alive_len + 1).astype(jnp.float32)
+            # prev_costs guard: rows already retired (INF) must not
+            # re-finish with garbage costs
+            finishing = (is_eos & (step_costs < round_to_inf)
+                         & (prev_costs < INF / 2))
+            adjusted = chosen_costs - char_discount * (alive_len + 1.0)
 
             # merge finishing hyps into the done set: 2K candidates -> K
-            cand_adj = jnp.concatenate(
-                [jnp.where(s["done_valid"], s["done_adjusted"], INF),
-                 jnp.where(finishing, adjusted, INF)], axis=1)   # (U, 2K)
-            cand_cost = jnp.concatenate(
-                [s["done_cost"], chosen_costs], axis=1)
-            cand_len = jnp.concatenate(
-                [s["done_len"], alive_len], axis=1)
+            new_meta = jnp.stack(
+                [chosen_costs, jnp.where(finishing, adjusted, INF),
+                 jnp.broadcast_to(alive_len, (U, K))], axis=-1)
+            cand_meta = jnp.concatenate([s["done_meta"], new_meta], axis=1)
             cand_out = jnp.concatenate([s["done_out"], alive_out], axis=1)
-            cand_valid = jnp.concatenate(
-                [s["done_valid"], finishing], axis=1)
-            _, keep = jax.lax.top_k(-cand_adj, K)                # (U, K)
+            _, keep = jax.lax.top_k(-cand_meta[:, :, 1], K)      # (U, K)
+            done_meta = jnp.take_along_axis(cand_meta, keep[:, :, None],
+                                            axis=1)
             done_out = jnp.take_along_axis(cand_out, keep[:, :, None],
                                            axis=1)
-            done_cost = jnp.take_along_axis(cand_cost, keep, axis=1)
-            done_adj = jnp.take_along_axis(cand_adj, keep, axis=1)
-            done_len = jnp.take_along_axis(cand_len, keep, axis=1)
-            done_valid = jnp.take_along_axis(cand_valid, keep, axis=1)
 
             # finished rows leave the beam
             alive_costs = jnp.where(is_eos, INF, chosen_costs)
 
-            # ---- freeze stopped utterances -----------------------------
-            def fz(new, old, per_uk=False):
-                m = stopped
-                if per_uk:
-                    m = jnp.repeat(stopped, K)
-                return jax.tree.map(
-                    lambda n, o: jnp.where(
-                        m.reshape(m.shape + (1,) * (n.ndim - 1)), o, n),
-                    new, old)
-
             return {
-                "carry": fz(carry, s["carry"], per_uk=True),
-                "alive_costs": fz(alive_costs, s["alive_costs"]),
-                "alive_out": fz(alive_out, s["alive_out"]),
-                "alive_len": fz(alive_len, s["alive_len"]),
-                "done_out": fz(done_out, s["done_out"]),
-                "done_cost": fz(done_cost, s["done_cost"]),
-                "done_adjusted": fz(done_adj, s["done_adjusted"]),
-                "done_len": fz(done_len, s["done_len"]),
-                "done_valid": fz(done_valid, s["done_valid"]),
+                "carry": carry,
+                "alive_costs": alive_costs,
+                "alive_out": alive_out,
+                "done_out": done_out,
+                "done_meta": done_meta,
                 "i": i + 1,
                 "patience": new_patience,
                 "min_cost": new_min,
@@ -260,12 +258,12 @@ class BeamSearch:
             }
 
         final = jax.lax.while_loop(cond, body, state)
+        meta = final["done_meta"]
         return {
             "done_out": final["done_out"],
-            "done_cost": final["done_cost"],
-            "done_adjusted": jnp.where(final["done_valid"],
-                                       final["done_adjusted"], INF),
-            "done_len": final["done_len"],
-            "done_valid": final["done_valid"],
+            "done_cost": meta[:, :, 0],
+            "done_adjusted": meta[:, :, 1],
+            "done_len": meta[:, :, 2].astype(jnp.int32),
+            "done_valid": meta[:, :, 1] < INF / 2,
             "steps": final["i"],
         }

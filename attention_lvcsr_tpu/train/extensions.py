@@ -380,6 +380,39 @@ class CompilationStatistics(TrainingExtension):
             self.main_loop.log.status.update(stats)
 
 
+class LogInputs(SimpleExtension):
+    """Debug dump of training batches (and predicted gains for the
+    task-loss criterion) — lvsr LogInputs/LogInputsGains,
+    lvsr/extensions.py:94-154."""
+
+    def __init__(self, data, dump_path=None, with_gains=False, **kwargs):
+        self.data = data
+        self.dump_path = dump_path
+        self.with_gains = with_gains
+        kwargs.setdefault("every_n_batches", 100)
+        super().__init__(**kwargs)
+
+    def do(self, which_callback, *args):
+        batch = args[0] if args else None
+        if batch is None or "labels" not in batch:
+            return
+        out = sys.stderr if not self.dump_path else open(self.dump_path, "a")
+        it = self.main_loop.log.status["iterations_done"]
+        print(f"--- inputs at iteration {it} ---", file=out)
+        labels = batch["labels"]
+        mask = batch.get("labels_mask")
+        for b in range(min(4, len(labels))):
+            L = int(mask[b].sum()) if mask is not None else labels.shape[1]
+            print(" ", self.data.pretty_print(labels[b][:L], None),
+                  file=out)
+        if self.with_gains:
+            gains = self.main_loop.log.current_row.get("min_gain")
+            if gains is not None:
+                print(f"  min_gain={gains}", file=out)
+        if self.dump_path:
+            out.close()
+
+
 class Plot(SimpleExtension):
     """Live training-curve plots written to disk every N batches.
 

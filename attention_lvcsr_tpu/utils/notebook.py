@@ -54,6 +54,24 @@ def plot_channels(log: TrainingLog, channels: Sequence[Sequence[str]],
     return fig
 
 
+def wav_player(data, rate=16000):
+    """Inline HTML audio player for notebooks (lvsr/notebook.py role)."""
+    import base64
+    import io
+    import wave as wave_mod
+    buf = io.BytesIO()
+    pcm = (np.clip(np.asarray(data, np.float64), -1, 1)
+           * 32767).astype("<i2")
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    payload = base64.b64encode(buf.getvalue()).decode()
+    return (f'<audio controls src="data:audio/wav;base64,{payload}">'
+            '</audio>')
+
+
 def show_alignment(weights, labels, bos_symbol=False):
     """Interactive variant of save_alignment (returns the figure)."""
     import matplotlib
