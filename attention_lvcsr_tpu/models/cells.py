@@ -52,7 +52,7 @@ class RecurrentCell(nn.Module):
     def one_step(self, states, seqs, mask=None):
         raise NotImplementedError
 
-    def scan(self, seqs, mask=None, initial_states=None):
+    def scan(self, seqs, mask=None, initial_states=None, pallas=None):
         """Run the cell over time.
 
         Parameters
@@ -65,7 +65,10 @@ class RecurrentCell(nn.Module):
         -------
         dict name -> (T, B, dim) state sequences (not including the initial
         state), plus key ``'final'`` mapping to the final state dict.
+        ``pallas`` ('compile'/'interpret'/None): use the fused one-kernel
+        scan where the cell supports it (forward-only; inference paths).
         """
+        del pallas  # base implementation: XLA scan
         names = self.sequence_names
         xs = tuple(seqs[n] for n in names)
         batch_size = xs[0].shape[1]
@@ -140,6 +143,19 @@ class GatedRecurrent(RecurrentCell):
         candidate = jnp.tanh((h * reset) @ self.state_to_state + seqs["inputs"])
         new_h = update * candidate + (1.0 - update) * h
         return {"states": _apply_mask(mask, new_h, h)}
+
+    def scan(self, seqs, mask=None, initial_states=None, pallas=None):
+        if pallas in ("compile", "interpret"):
+            from attention_lvcsr_tpu.ops.pallas.gru_scan import gru_scan
+            batch = seqs["inputs"].shape[1]
+            if initial_states is None:
+                initial_states = self.initial_states(batch)
+            states = gru_scan(seqs["inputs"], seqs["gate_inputs"], mask,
+                              initial_states["states"], self.state_to_state,
+                              self.state_to_gates,
+                              interpret=pallas == "interpret")
+            return {"states": states, "final": {"states": states[-1]}}
+        return super().scan(seqs, mask=mask, initial_states=initial_states)
 
 
 class LSTM(RecurrentCell):

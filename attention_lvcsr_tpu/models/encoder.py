@@ -34,12 +34,12 @@ class RecurrentWithFork(nn.Module):
             for name, d in self.cell.sequence_dims().items()
         }
 
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, pallas=None):
         # x: (B, T, F) -> (B, T, dim)
         seqs = {name: proj(x).transpose(1, 0, 2)
                 for name, proj in self.fork.items()}
         tmask = mask.transpose(1, 0) if mask is not None else None
-        out = self.cell.scan(seqs, mask=tmask)
+        out = self.cell.scan(seqs, mask=tmask, pallas=pallas)
         main_state = self.cell.state_names[0]
         return out[main_state].transpose(1, 0, 2)
 
@@ -55,11 +55,12 @@ class Bidirectional(nn.Module):
         self.backward = RecurrentWithFork(self.transition, self.dim,
                                           name="backward")
 
-    def __call__(self, x, mask=None):
-        fwd = self.forward(x, mask)
+    def __call__(self, x, mask=None, pallas=None):
+        fwd = self.forward(x, mask, pallas=pallas)
         x_rev = jnp.flip(x, axis=1)
         mask_rev = jnp.flip(mask, axis=1) if mask is not None else None
-        bwd = jnp.flip(self.backward(x_rev, mask_rev), axis=1)
+        bwd = jnp.flip(self.backward(x_rev, mask_rev, pallas=pallas),
+                       axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -89,10 +90,12 @@ class Encoder(nn.Module):
     def dim_encoded(self):
         return (2 if self.bidir else 1) * self.dims[-1]
 
-    def __call__(self, x, mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        # x: (B, T, F); mask: (B, T)
+    def __call__(self, x, mask=None, pallas=None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # x: (B, T, F); mask: (B, T); pallas: fused-scan mode for
+        # inference paths (forward-only kernel, ops/pallas/gru_scan.py)
         for layer, take_each in zip(self.layers, self.subsample):
-            x = layer(x, mask)
+            x = layer(x, mask, pallas=pallas)
             x = x[:, ::take_each]
             if mask is not None:
                 mask = mask[:, ::take_each]

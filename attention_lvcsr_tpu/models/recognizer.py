@@ -158,13 +158,23 @@ class RecognizerNet(nn.Module):
             language_model=lm_module, name="generator")
 
     # -- pieces ------------------------------------------------------------
-    def encode(self, inputs, inputs_mask, dropout=False):
-        """bottom -> encoder -> top. inputs: (B, T, F) or (B, T) ints."""
+    def encode(self, inputs, inputs_mask, dropout=False, fast=False):
+        """bottom -> encoder -> top. inputs: (B, T, F) or (B, T) ints.
+
+        ``fast=True`` (inference paths only) runs the recurrent layers
+        through the fused forward-only Pallas scan on TPU."""
         bottom_out = self.bottom_net(inputs)
         if dropout:
             bottom_out = self.bottom_dropout(bottom_out,
                                              deterministic=False)
-        encoded, encoded_mask = self.encoder(bottom_out, inputs_mask)
+        pallas = None
+        if fast and self.use_pallas != "never":
+            if self.use_pallas == "interpret":
+                pallas = "interpret"
+            elif jax.default_backend() == "tpu":
+                pallas = "compile"
+        encoded, encoded_mask = self.encoder(bottom_out, inputs_mask,
+                                             pallas=pallas)
         if self.top is not None:
             encoded = self.top(encoded)
         return encoded, encoded_mask, bottom_out
@@ -199,7 +209,8 @@ class RecognizerNet(nn.Module):
 
     # -- decode-step interface (used by search.beam) ----------------------
     def decode_contexts(self, inputs, inputs_mask):
-        encoded, encoded_mask, _ = self.encode(inputs, inputs_mask)
+        encoded, encoded_mask, _ = self.encode(inputs, inputs_mask,
+                                               fast=True)
         ctx = {
             "attended": encoded,
             "preprocessed": self.generator.attention.preprocess(encoded),
