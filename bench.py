@@ -30,7 +30,7 @@ def main():
     FRAMES = 800           # 8 s per utterance at 10 ms hop
     FRAME_S = 0.01
     BEAM = 10
-    REPEATS = 3
+    REPEATS = 5            # take the best (shared dev chip drifts ~2x)
 
     net_config = dict(FLAGSHIP_NET)
     net_config["max_decoded_length_scale"] = 8.0
