@@ -651,6 +651,15 @@ def search(config, load_path, part="valid", decode_only=None, report=None,
         stats["total_errors"] += len(groundtruth) * error
         stats["total_length"] += len(groundtruth)
 
+        costs_recognized = weights_recognized = None
+        if recognized:
+            rec_analysis = recognizer.analyze(
+                jnp.asarray(inputs)[None], jnp.ones((1, len(inputs))),
+                jnp.asarray(np.asarray(outputs[0], np.int64))[None],
+                jnp.ones((1, len(outputs[0]))))
+            costs_recognized = float(rec_analysis["costs"].sum())
+            weights_recognized = rec_analysis["weights"][:, 0, :]
+
         if vocabulary is not None:
             wer_error = min(1, wer(to_words(groundtruth_text),
                                    to_words(recognized_text)))
@@ -661,6 +670,8 @@ def search(config, load_path, part="valid", decode_only=None, report=None,
             from attention_lvcsr_tpu.utils.plots import save_alignment
             save_alignment(weights_gt, groundtruth, os.path.join(
                 report, "alignments", f"{number}.groundtruth.png"))
+            save_alignment(weights_recognized, recognized, os.path.join(
+                report, "alignments", f"{number}.recognized.png"))
 
         if decoded_file is not None:
             print("{} {}".format(uttids, " ".join(recognized)),
@@ -669,6 +680,13 @@ def search(config, load_path, part="valid", decode_only=None, report=None,
         print("Decoding took:", took, file=print_to)
         print("Beam search cost:", search_costs[0], file=print_to)
         print("Recognized:", recognized_text, file=print_to)
+        if costs_recognized is not None:
+            print("Recognized cost:", costs_recognized, file=print_to)
+            print("Recognized weight std:",
+                  float(weights_std(
+                      weights_recognized[:, None, :],
+                      np.ones((len(weights_recognized), 1), "f"))),
+                  file=print_to)
         print("CER:", error, file=print_to)
         print("Average CER:",
               stats["total_errors"] / stats["total_length"], file=print_to)
