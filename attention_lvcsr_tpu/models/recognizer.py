@@ -308,8 +308,11 @@ def initialize_params(shapes: Dict, init_config: Mapping[str, Mapping],
         shape = tuple(leaf.shape)
         if isinstance(initializer, inits.Orthogonal) and len(shape) != 2:
             initializer = inits.IsotropicGaussian(0.1)
-        rng = np.random.RandomState(
-            (seed + hash(full) % (2 ** 31 - 1)) % (2 ** 31 - 1))
+        # stable per-path seed (python's hash() is salted per process,
+        # which would make initialization irreproducible across runs)
+        import zlib
+        path_hash = zlib.crc32(full.encode())
+        rng = np.random.RandomState((seed + path_hash) % (2 ** 31 - 1))
         out[path] = jnp.asarray(initializer.generate(rng, shape))
     return {"params": traverse_util.unflatten_dict(out)}
 
