@@ -7,6 +7,11 @@ rebuilt on the standard library: a length-prefixed npz-over-TCP protocol,
 a push server that runs the data pipeline in its own process, and a
 process-based prefetcher for CPU-heavy pipelines (feature extraction,
 normalization) that would fight the host loop for the GIL.
+
+NOTE: workers are forked.  Fork the server/prefetcher BEFORE the first
+JAX computation in the parent (JAX is multithreaded; forking afterwards
+can deadlock the child).  Stream factories are closures, which rules out
+spawn-based contexts.
 """
 from __future__ import annotations
 

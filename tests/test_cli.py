@@ -77,6 +77,21 @@ def test_init_norm_in_process(setup, tmp_path):
     assert norm.mean.shape == (5,)
 
 
+@pytest.mark.slow
+def test_sample_driver_in_process(setup, capsys):
+    d = setup
+    from attention_lvcsr_tpu.cli.run import build_parser, prepare_config
+    from attention_lvcsr_tpu.train import driver
+    args = build_parser().parse_args(
+        ["sample", str(d / "toy.yaml")] + OVERRIDES)
+    config = prepare_config(args)
+    import io
+    out = io.StringIO()
+    driver.sample(config, str(d / "model.zip"), part="valid", print_to=out)
+    text = out.getvalue()
+    assert "Groundtruth:" in text and "Recognized:" in text
+
+
 def test_show_data_in_process(setup):
     d = setup
     from attention_lvcsr_tpu.cli.run import build_parser, prepare_config
