@@ -18,6 +18,13 @@ Feature input options:
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
 import argparse
 import sys
 import wave

@@ -22,6 +22,13 @@ Subcommands (reference counterparts):
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
 import argparse
 import sys
 

@@ -10,6 +10,13 @@ available in this environment); the file layout matches
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
 import argparse
 
 import numpy as np

@@ -10,6 +10,13 @@ aggregate WER using the same edit-distance core as training
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
 import argparse
 import re
 import sys
