@@ -464,15 +464,42 @@ class SpeechRecognizer:
         self._beam_search = BeamSearch(self, beam_size,
                                        compute_dtype=compute_dtype)
 
-    def beam_search(self, inputs, inputs_mask=None, **kwargs):
-        """Decode a single utterance or a batch; see search.beam."""
+    def beam_search(self, inputs, inputs_mask=None,
+                    pad_frames_multiple=100, pad_batch_multiple=8,
+                    **kwargs):
+        """Decode a single utterance or a batch; see search.beam.
+
+        Inputs are zero-padded (with zero mask) to a small set of static
+        shapes — time to a multiple of ``pad_frames_multiple`` frames and
+        batch to a multiple of ``pad_batch_multiple`` — so per-utterance
+        decoding does not recompile for every distinct length (the
+        bucketed-shape discipline of SURVEY.md §5).  The decode-length cap
+        uses the true (pre-padding) length; padded batch rows produce
+        ignorable entries past the caller's batch size.
+        """
         self.init_beam_search(self.beam_size or 10)
-        if inputs.ndim == 2 and np.issubdtype(np.asarray(inputs).dtype,
-                                              np.floating):
+        inputs = np.asarray(inputs)
+        if inputs.ndim == 2 and np.issubdtype(inputs.dtype, np.floating):
             inputs = inputs[None]  # single utterance (T, F) -> (1, T, F)
         if inputs_mask is None:
             inputs_mask = np.ones(inputs.shape[:2], np.float32)
-        max_length = int(inputs.shape[1] / self.max_decoded_length_scale)
+        inputs_mask = np.asarray(inputs_mask, np.float32)
+        B, T = inputs.shape[:2]
+        max_length = int(T / self.max_decoded_length_scale)
+
+        def up(n, m):
+            return -(-n // m) * m if m and m > 1 else n
+
+        T_pad, B_pad = up(T, pad_frames_multiple), up(B, pad_batch_multiple)
+        if B == 1:
+            B_pad = 1  # the single-utterance path stays single
+        if (T_pad, B_pad) != (T, B):
+            padded = np.zeros((B_pad, T_pad) + inputs.shape[2:],
+                              inputs.dtype)
+            padded[:B, :T] = inputs
+            mask = np.zeros((B_pad, T_pad), np.float32)
+            mask[:B, :T] = inputs_mask
+            inputs, inputs_mask = padded, mask
         return self._beam_search.search(
             self.params, inputs, inputs_mask, self.eos_label, max_length,
             ignore_first_eol=self.data_prepend_eos, **kwargs)

@@ -128,10 +128,14 @@ class BeamSearch:
 
         # done-set scalars packed into one (U, K, 3) array
         # [cost, adjusted, length]; invalid entries have adjusted = INF.
+        # fully-masked rows are batch padding: start them retired so the
+        # early-stopping conditions see them as finished immediately
+        row_dead = (inputs_mask.sum(axis=1) == 0)[:, None]       # (U, 1)
         state = {
             "carry": carry0,
-            "alive_costs": jnp.tile(
-                jnp.where(jnp.arange(K) == 0, 0.0, INF)[None, :], (U, 1)),
+            "alive_costs": jnp.where(
+                row_dead | (jnp.arange(K)[None, :] != 0), INF, 0.0
+            ) * jnp.ones((U, K)),
             "alive_out": jnp.zeros((U, K, L), jnp.int32),
             "done_out": jnp.zeros((U, K, L), jnp.int32),
             "done_meta": jnp.tile(

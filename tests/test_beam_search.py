@@ -109,6 +109,31 @@ def test_wider_beam_no_worse(recognizer, utterance):
     assert min(costs8) <= min(costs1) + 1e-4
 
 
+def test_shape_bucketing_reuses_compilation(recognizer):
+    """Different utterance lengths pad to one bucket -> one compilation."""
+    rng = np.random.RandomState(9)
+    recognizer.init_beam_search(2)
+    for T in (11, 16, 23):
+        utt = rng.randn(T, 6).astype("float32")
+        outputs, costs = recognizer.beam_search(utt)
+        assert outputs and np.isfinite(costs[0])
+    assert len(recognizer._beam_search._jitted) == 1
+
+
+def test_batch_padding_rows_ignored(recognizer):
+    """A padded (fully masked) row yields no usable results but does not
+    disturb the real rows."""
+    rng = np.random.RandomState(10)
+    utts = rng.randn(3, 16, 6).astype("float32")
+    recognizer.init_beam_search(2)
+    ref = recognizer.beam_search(utts[:1][0], as_arrays=True)
+    out = recognizer.beam_search(utts, np.ones((3, 16), "f"),
+                                 pad_batch_multiple=4, as_arrays=True)
+    assert out["done_out"].shape[0] == 4
+    np.testing.assert_allclose(out["done_cost"][0], ref["done_cost"][0],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_char_discount_prefers_longer(recognizer, utterance):
     recognizer.init_beam_search(4)
     out_plain, _ = recognizer.beam_search(utterance, char_discount=0.0)
