@@ -38,7 +38,8 @@ class Data:
                  sort_k_batches=None, max_length=None, normalization=None,
                  add_eos=True, eos_label=None, add_bos=0, prepend_eos=False,
                  default_sources=None, dataset_class=None,
-                 pad_multiple=1, prefetch=True, data_dir=None):
+                 pad_multiple=1, pad_batches=False, prefetch=True,
+                 data_dir=None):
         if prepend_eos:
             raise ValueError("prepend_eos is not supported (reference "
                              "asserts the same, lvsr/datasets/__init__.py:166)")
@@ -58,7 +59,12 @@ class Data:
         self.prepend_eos = prepend_eos
         self._eos_label = eos_label
         self.add_bos = add_bos
+        # int, or a per-conceptual-source dict ({recordings: 100,
+        # labels: 10}): time-padding bucket sizes for static shapes
         self.pad_multiple = pad_multiple
+        # pad the final partial batch up to the full batch size (masked
+        # rows) so the train step compiles for one batch dimension
+        self.pad_batches = pad_batches
         self.prefetch = prefetch
         self.dataset_cache = {}
         if isinstance(normalization, str):
@@ -165,8 +171,9 @@ class Data:
             else:
                 groups = _chunks(examples, batch_size)
             for group in groups:
-                batch = pad_batch(group, pad_sources,
-                                  pad_multiple=self.pad_multiple)
+                batch = pad_batch(
+                    group, pad_sources, pad_multiple=self.pad_multiple,
+                    pad_batch_to=(batch_size if self.pad_batches else None))
                 if "uttids" in (self.default_sources + list(add_sources)):
                     batch["uttids"] = [ex.get("uttids") for ex in group]
                 yield batch

@@ -101,18 +101,22 @@ def pad_batch(batch: List[Dict], sources, pad_multiple=1,
     """Zero-pad a list of examples into batch-major arrays + masks.
 
     Produces ``<source>`` and ``<source>_mask`` entries; time is padded to
-    a multiple of ``pad_multiple`` and the batch dim optionally padded to
-    ``pad_batch_to`` (mask rows zero) for static-shape discipline.
+    a multiple of ``pad_multiple`` (an int, or a per-source dict — label
+    sequences are much shorter than frame sequences) and the batch dim
+    optionally padded to ``pad_batch_to`` (mask rows zero) for
+    static-shape discipline.
     """
     out = {}
     B = len(batch)
     BP = pad_batch_to or B
     for source in sources:
+        multiple = (pad_multiple.get(source, 1)
+                    if isinstance(pad_multiple, dict) else pad_multiple)
         arrays = [np.asarray(ex[source]) for ex in batch]
         if arrays[0].ndim == 0:
             out[source] = np.asarray(arrays + [arrays[0]] * (BP - B))
             continue
-        max_len = round_up(max(a.shape[0] for a in arrays), pad_multiple)
+        max_len = round_up(max(a.shape[0] for a in arrays), multiple)
         tail = arrays[0].shape[1:]
         dtype = arrays[0].dtype
         padded = np.zeros((BP, max_len) + tail, dtype=dtype)

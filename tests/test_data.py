@@ -77,6 +77,21 @@ def test_pad_multiple(toy_path):
         assert batch["recordings"].shape[1] % 16 == 0
 
 
+def test_per_source_pad_multiple_and_pad_batches(toy_path):
+    data = _make_data(toy_path, batch_size=16,
+                      pad_multiple={"recordings": 16, "labels": 4},
+                      pad_batches=True)
+    batches = list(data.get_stream("train", shuffle=False))
+    for batch in batches:
+        assert batch["recordings"].shape[0] == 16  # last batch padded
+        assert batch["recordings"].shape[1] % 16 == 0
+        assert batch["labels"].shape[1] % 4 == 0
+    # padded rows are fully masked
+    last = batches[-1]
+    assert last["recordings_mask"][-1].sum() == 0 or \
+        40 % 16 == 0  # (40 examples -> last batch has 8 real rows)
+
+
 def test_length_filter_switch(toy_path):
     data = _make_data(toy_path, max_length=10)
     n_filtered = sum(1 for _ in data.get_stream("train", batches=False,

@@ -168,6 +168,47 @@ def test_device_lm_parity_arpa():
     _random_walk_parity(fst, 2, remap, steps=6, seed=1)
 
 
+def test_lm_only_decoding_follows_the_lm(tmp_path):
+    """With am_beta=0 and lm weight 1, the decode must reproduce exactly
+    the single string a strict chain LM accepts — a full end-to-end
+    semantic check of the fusion path."""
+    from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+    syms = {"<eps>": 0, "a": 1, "b": 2, "c": 3, "d": 4, "<eol>": 5}
+    chain = Fst(start=0)
+    for i, ch in enumerate(["a", "b", "c", "<eol>"]):
+        chain.add_arc(i, syms[ch], syms[ch], 0.0, i + 1)
+    chain.set_final(4, 0.0)
+    chain.isyms = dict(syms)
+    lm_path = str(tmp_path / "chain.fst.txt")
+    write_fst_text(chain, lm_path)
+    with open(lm_path + ".syms", "w") as f:
+        for s, i in syms.items():
+            f.write(f"{s} {i}\n")
+
+    net_config = dict(
+        input_dims={"recordings": 6}, input_num_chars={},
+        eos_label=4, num_phonemes=5, dim_dec=8, dims_bidir=[6],
+        enc_transition="gru", dec_transition="gru",
+        attention_type="content", use_states_for_readout=False,
+        criterion={"name": "log_likelihood"},
+        bottom={"bottom_class": "speech"}, subsample=[1],
+        post_merge_dims=[8], max_decoded_length_scale=1.0,
+        data_prepend_eos=False,
+        character_map={"a": 0, "b": 1, "c": 2, "d": 3, "<eol>": 4},
+        lm={"path": lm_path, "weight": 1.0, "am_beta": 0.0,
+            "normalize_am_weights": False, "normalize_tot_weights": False,
+            "no_transition_cost": 30.0},
+    )
+    rec = SpeechRecognizer(net_config, init_config={
+        "/recognizer": {"weights_init": ["isotropic_gaussian", 0.5],
+                        "biases_init": ["constant", 0.0]}}, seed=2)
+    rec.init_beam_search(2)
+    utt = np.random.RandomState(0).randn(8, 6).astype("float32")
+    outputs, costs = rec.beam_search(utt)
+    # nn ids: a=0 b=1 c=2 <eol>=4
+    assert outputs[0] == [0, 1, 2, 4]
+
+
 def test_shallow_fusion_decoding(tmp_path):
     """A recognizer with an FST LM decodes; LM shifts the scores."""
     from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
