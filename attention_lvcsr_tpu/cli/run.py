@@ -99,6 +99,10 @@ def main(argv=None):
     if os.environ.get("JAX_PLATFORMS"):
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if os.environ.get("LVSR_COMPILE_CACHE"):
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["LVSR_COMPILE_CACHE"])
     config = prepare_config(args)
 
     from attention_lvcsr_tpu.train import driver

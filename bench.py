@@ -15,14 +15,32 @@ max_decoded_length_scale=8).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (the Theano compiledir role,
+    config/theano.rc:4): repeated bench/driver runs skip the multi-minute
+    first compile."""
+    import jax
+    cache_dir = os.environ.get(
+        "LVSR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _enable_compilation_cache()
     from __graft_entry__ import FLAGSHIP_NET
     from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
 

@@ -87,6 +87,13 @@ def test_lstm_encoder():
     _run_cost(cfg)
 
 
+def test_lstm_decoder():
+    cfg = dict(BASE, dec_transition="LSTM")
+    net, params, out = _run_cost(cfg)
+    t = params["params"]["generator"]["transition_0"]
+    assert "W_state" in t and "initial_cells" in t
+
+
 class _Algo:
     params = {}
     opt_state = None
