@@ -153,6 +153,30 @@ def cmd_check_zero(args):
     print("all weights are zero")
 
 
+def cmd_add_eol(args):
+    """Make word ends accept ``<eol>`` (the ``eol_to_spc`` adapter role in
+    bin/lm2fst.sh: the network emits <eol> where the LM graph expects a
+    final <spc>/end): every state with a <spc> arc also gets an <eol> arc
+    into a final sink state."""
+    fst, isyms = _load(args)
+    if not isyms or "<spc>" not in isyms:
+        raise SystemExit("add-eol requires a .syms table with <spc>")
+    isyms = dict(isyms)
+    if "<eol>" not in isyms:
+        isyms["<eol>"] = max(isyms.values()) + 1
+    eol = isyms["<eol>"]
+    spc = isyms["<spc>"]
+    sink = fst.num_states
+    for s in list(fst.arcs):
+        for a in list(fst.state_arcs(s)):
+            if a.ilabel == spc:
+                fst.add_arc(s, eol, eol, a.weight, sink)
+    fst.set_final(sink, 0.0)
+    F.write_fst_text(fst, args.out)
+    F.write_symbols(args.out + ".syms", isyms)
+    print(f"wrote {args.out} (+<eol> arcs into a final sink)")
+
+
 def cmd_check_deterministic(args):
     """Extended-determinism check (bin/check_ext_deterministic.py role):
     no state may have two non-epsilon arcs with the same input label, and
@@ -248,6 +272,10 @@ def main(argv=None):
     a = sub.add_parser("check-zero")
     a.add_argument("fst")
     a.set_defaults(fn=cmd_check_zero)
+
+    a = sub.add_parser("add-eol")
+    a.add_argument("fst"); a.add_argument("out")
+    a.set_defaults(fn=cmd_add_eol)
 
     a = sub.add_parser("check-deterministic")
     a.add_argument("fst")
