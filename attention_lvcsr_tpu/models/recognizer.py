@@ -479,8 +479,10 @@ class SpeechRecognizer:
         """
         self.init_beam_search(self.beam_size or 10)
         inputs = np.asarray(inputs)
-        if inputs.ndim == 2 and np.issubdtype(inputs.dtype, np.floating):
-            inputs = inputs[None]  # single utterance (T, F) -> (1, T, F)
+        if (inputs.ndim == 2 and np.issubdtype(inputs.dtype, np.floating)) \
+                or inputs.ndim == 1:
+            # single utterance: (T, F) floats or (T,) discrete tokens
+            inputs = inputs[None]
         if inputs_mask is None:
             inputs_mask = np.ones(inputs.shape[:2], np.float32)
         inputs_mask = np.asarray(inputs_mask, np.float32)
