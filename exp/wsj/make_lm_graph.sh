@@ -18,3 +18,14 @@ python tools/lm_tools.py create-lexicon "$ARPA"
 mv -f lexicon.txt words.txt characters.txt "$OUT/"
 python tools/lm_tools.py pack "$OUT/G.fst.txt" "$OUT/G.packed.npz"
 echo "graphs in $OUT"
+
+# Full character decoding graph (create_character_decoding_graph.sh role):
+# L∘G -> determinize(log) -> rmsymbols -> rmeps -> minimize -> eol adapter
+# -> determinize -> minimize -> push -> LG_pushed(.npz).
+# Requires the network character table (dataset value_map) as $3.
+NET_CHARS=${3:-}
+if [ -n "$NET_CHARS" ]; then
+  python tools/lm_tools.py build-lg "$ARPA" "$NET_CHARS" "$OUT"
+  python tools/lm_tools.py check-deterministic "$OUT/LG.fst.txt"
+  echo "decoding graph (LG_pushed + npz) in $OUT"
+fi

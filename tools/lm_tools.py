@@ -35,6 +35,7 @@ import sys
 import numpy as np
 
 from attention_lvcsr_tpu.ops import fst as F
+from attention_lvcsr_tpu.ops import fst_algo as FA
 
 
 def cmd_arpa2fst(args):
@@ -215,6 +216,73 @@ def cmd_strip_weights(args):
     print(f"wrote {args.out}")
 
 
+def _load_two(a_path, b_path):
+    fa, _ = _load(argparse.Namespace(fst=a_path))
+    fb, _ = _load(argparse.Namespace(fst=b_path))
+    return fa, fb
+
+
+def cmd_compose(args):
+    fa, fb = _load_two(args.a, args.b)
+    out = FA.compose(fa, fb)
+    F.write_fst_text(out, args.out)
+    print(f"composed -> {args.out} ({out.num_states} states)")
+
+
+def cmd_determinize(args):
+    fst, isyms = _load(args)
+    out = FA.determinize_star(fst, use_log=not args.tropical)
+    F.write_fst_text(out, args.out)
+    if isyms:
+        F.write_symbols(args.out + ".syms", isyms)
+    print(f"determinized -> {args.out} ({out.num_states} states)")
+
+
+def cmd_minimize(args):
+    fst, isyms = _load(args)
+    out = FA.minimize_encoded(fst)
+    F.write_fst_text(out, args.out)
+    if isyms:
+        F.write_symbols(args.out + ".syms", isyms)
+    print(f"minimized {fst.num_states} -> {out.num_states} states")
+
+
+def cmd_push(args):
+    fst, isyms = _load(args)
+    out = FA.push_weights(fst)
+    F.write_fst_text(out, args.out)
+    if isyms:
+        F.write_symbols(args.out + ".syms", isyms)
+    print(f"pushed -> {args.out}")
+
+
+def cmd_rmepsilon(args):
+    fst, isyms = _load(args)
+    out = FA.rm_epsilon(fst, use_log=args.log)
+    F.write_fst_text(out, args.out)
+    if isyms:
+        F.write_symbols(args.out + ".syms", isyms)
+    print(f"rmepsilon -> {args.out} ({out.num_states} states)")
+
+
+def cmd_build_lg(args):
+    """Full character decoding-graph pipeline (ARPA + net chars ->
+    LG_pushed + dense tables), the create_character_decoding_graph.sh
+    role, OpenFST-free."""
+    from attention_lvcsr_tpu.ops.lm_graph import build_decoding_graph
+    net_chars = F.read_symbols(args.net_chars)
+    result = build_decoding_graph(
+        args.arpa, net_chars, out_dir=args.out_dir,
+        use_bol=args.use_bol, deterministic=not args.nondeterministic,
+        max_states=args.max_states,
+        no_transition_cost=args.no_transition_cost)
+    lg = result["LG_pushed"]
+    print(f"built decoding graph in {args.out_dir}: "
+          f"G={result['G'].num_states} L={result['L_disambig'].num_states} "
+          f"LG_pushed={lg.num_states} states; "
+          f"packed tables {result['packed'].next_state.shape}")
+
+
 def cmd_pack(args):
     fst, isyms = _load(args)
     if not isyms:
@@ -284,6 +352,39 @@ def main(argv=None):
     a = sub.add_parser("strip-weights")
     a.add_argument("fst"); a.add_argument("out")
     a.set_defaults(fn=cmd_strip_weights)
+
+    a = sub.add_parser("compose")
+    a.add_argument("a"); a.add_argument("b"); a.add_argument("out")
+    a.set_defaults(fn=cmd_compose)
+
+    a = sub.add_parser("determinize")
+    a.add_argument("fst"); a.add_argument("out")
+    a.add_argument("--tropical", action="store_true",
+                   help="combine weights tropically instead of log")
+    a.set_defaults(fn=cmd_determinize)
+
+    a = sub.add_parser("minimize")
+    a.add_argument("fst"); a.add_argument("out")
+    a.set_defaults(fn=cmd_minimize)
+
+    a = sub.add_parser("push")
+    a.add_argument("fst"); a.add_argument("out")
+    a.set_defaults(fn=cmd_push)
+
+    a = sub.add_parser("rmepsilon")
+    a.add_argument("fst"); a.add_argument("out")
+    a.add_argument("--log", action="store_true")
+    a.set_defaults(fn=cmd_rmepsilon)
+
+    a = sub.add_parser("build-lg", help="ARPA + net chars -> LG_pushed "
+                       "decoding graph + packed device tables")
+    a.add_argument("arpa"); a.add_argument("net_chars")
+    a.add_argument("out_dir")
+    a.add_argument("--use-bol", action="store_true")
+    a.add_argument("--nondeterministic", action="store_true")
+    a.add_argument("--max-states", type=int, default=7)
+    a.add_argument("--no-transition-cost", type=float, default=1e12)
+    a.set_defaults(fn=cmd_build_lg)
 
     a = sub.add_parser("pack")
     a.add_argument("fst"); a.add_argument("out")
