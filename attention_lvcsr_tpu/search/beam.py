@@ -26,11 +26,24 @@ Tie-breaking is deterministic (lowest flat index wins, i.e. lower beam row
 then lower symbol id); the reference's ``argpartition`` order is unstable,
 so bit-identical tie order with the reference is not defined.
 
-``validate_solution_function`` (dictionary-constrained decoding) is not
-supported on-device yet; pass None.
+``validate_solution_function`` (the reference's dictionary-constrained
+decoding hook, ``blocks/search.py:368-371`` /
+``lvsr/main.py:109-110,803-804``) is supported two ways:
+
+* a :class:`DecodeConstraint` (dense deterministic FST over the output
+  alphabet) runs ON DEVICE: per-beam-row constraint state in the loop
+  carry, symbols with no transition are masked out of the expansion, and
+  EOS is only allowed from accepting states — strictly stronger than the
+  reference's finish-time filter (invalid prefixes never waste beam
+  slots) while accepting exactly the same solution set;
+* an arbitrary Python callable ``fn(utterance_inputs, symbols) -> bool``
+  is applied on the host to the K kept finished hypotheses (the
+  reference filters at insertion time over all finished candidates; with
+  a beam-sized done set the host filter sees only the kept K).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -40,10 +53,70 @@ import numpy as np
 
 INF = 1e9
 PATIENCE = 30
+NOT_STATE = -1
 
 
 class CandidateNotFoundError(Exception):
     """No finished hypothesis was produced (blocks/search.py:15)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConstraint:
+    """Dense deterministic acceptor over the network's output alphabet.
+
+    ``trans[s, v]`` is the successor of state ``s`` on symbol ``v`` (or
+    ``NOT_STATE`` when ``v`` is not allowed); state 0 is the start;
+    ``final[s]`` marks states where the hypothesis may end (emit EOS).
+    """
+    trans: np.ndarray   # (S, V) int32
+    final: np.ndarray   # (S,) bool
+
+    @classmethod
+    def from_fst(cls, fst, num_symbols: int,
+                 remap: Optional[dict] = None) -> "DecodeConstraint":
+        """Densify a host ``ops.fst.Fst`` acceptor.  The FST must be
+        input-deterministic and epsilon-free (determinize/rm_epsilon it
+        first — see :mod:`attention_lvcsr_tpu.ops.fst_algo`); ``remap``
+        maps network symbol ids -> FST input labels (identity default).
+        """
+        from attention_lvcsr_tpu.ops.fst import EPSILON
+        S = fst.num_states
+        trans = np.full((S, num_symbols), NOT_STATE, np.int32)
+        # state ids must be dense with start == 0 for the device tables
+        if fst.start != 0:
+            raise ValueError("constraint FST start state must be 0")
+        for s in fst.arcs:
+            seen = {}
+            for a in fst.state_arcs(s):
+                if a.ilabel == EPSILON:
+                    raise ValueError(
+                        "constraint FST has epsilon arcs; rm_epsilon first")
+                if a.ilabel in seen and seen[a.ilabel] != a.nextstate:
+                    raise ValueError(
+                        f"constraint FST nondeterministic at state {s} "
+                        f"label {a.ilabel}; determinize first")
+                seen[a.ilabel] = a.nextstate
+            for v in range(num_symbols):
+                lab = remap.get(v) if remap is not None else v
+                if lab in seen:
+                    trans[s, v] = seen[lab]
+        final = np.zeros((S,), bool)
+        for s in fst.finals:
+            final[s] = True
+        return cls(trans=trans, final=final)
+
+    @classmethod
+    def from_words(cls, words, char_map: dict, num_symbols: int,
+                   spc: str = "<spc>") -> "DecodeConstraint":
+        """Dictionary constraint: hypotheses must be ``<spc>``-separated
+        sequences of the given words (``dict_char_lm_fst`` trie)."""
+        from attention_lvcsr_tpu.ops.fst import dict_char_lm_fst
+        # shift labels by +1: network id 0 would collide with the FST
+        # epsilon convention (label 0)
+        shifted = {ch: code + 1 for ch, code in char_map.items()}
+        fst = dict_char_lm_fst(words, shifted, spc=spc)
+        remap = {code: code + 1 for code in char_map.values()}
+        return cls.from_fst(fst, num_symbols, remap=remap)
 
 
 class BeamSearch:
@@ -61,20 +134,43 @@ class BeamSearch:
                ignore_first_eol=False, as_arrays=False, char_discount=0.0,
                round_to_inf=1e9, stop_on="patience",
                validate_solution_function=None):
-        if validate_solution_function is not None:
-            raise NotImplementedError(
-                "validate_solution_function is not supported by the "
-                "on-device beam search")
-        key = (inputs.shape, stop_on, bool(ignore_first_eol))
+        constraint = post_filter = None
+        if isinstance(validate_solution_function, DecodeConstraint):
+            constraint = validate_solution_function
+        elif callable(validate_solution_function):
+            post_filter = validate_solution_function
+        elif validate_solution_function is not None:
+            raise TypeError(
+                "validate_solution_function must be a DecodeConstraint, "
+                "a callable, or None")
+        key = (inputs.shape, stop_on, bool(ignore_first_eol),
+               constraint is not None)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(functools.partial(
                 self._search_core, stop_on=stop_on,
-                ignore_first_eol=bool(ignore_first_eol)))
+                ignore_first_eol=bool(ignore_first_eol),
+                use_constraint=constraint is not None))
+        cargs = ()
+        if constraint is not None:
+            cargs = (jnp.asarray(constraint.trans),
+                     jnp.asarray(constraint.final))
         out = self._jitted[key](
             params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
             jnp.int32(eol_symbol), jnp.int32(max_length),
-            jnp.float32(char_discount), jnp.float32(round_to_inf))
+            jnp.float32(char_discount), jnp.float32(round_to_inf), *cargs)
         out = {k: np.asarray(v) for k, v in out.items()}
+        if post_filter is not None:
+            out["done_valid"] = out["done_valid"].copy()
+            out["done_adjusted"] = out["done_adjusted"].copy()
+            inputs_np = np.asarray(inputs)
+            for u in range(out["done_valid"].shape[0]):
+                for k in range(out["done_valid"].shape[1]):
+                    if not out["done_valid"][u, k]:
+                        continue
+                    seq = list(out["done_out"][u, k, :out["done_len"][u, k]])
+                    if not post_filter(inputs_np[u], seq):
+                        out["done_valid"][u, k] = False
+                        out["done_adjusted"][u, k] = INF
         if as_arrays:
             return out
         return self._to_lists(out)
@@ -96,8 +192,10 @@ class BeamSearch:
 
     # ------------------------------------------------------------------
     def _search_core(self, params, inputs, inputs_mask, eol_symbol,
-                     max_length, char_discount, round_to_inf, *,
-                     stop_on="patience", ignore_first_eol=False):
+                     max_length, char_discount, round_to_inf,
+                     ctrans=None, cfinal=None, *,
+                     stop_on="patience", ignore_first_eol=False,
+                     use_constraint=False):
         net, K = self.net, self.beam_size
         U = inputs.shape[0]
         L = inputs.shape[1]  # output buffer bound; max_length <= T frames
@@ -145,6 +243,8 @@ class BeamSearch:
             "min_cost": jnp.full((U,), 1000.0),
             "stopped": jnp.zeros((U,), bool),
         }
+        if use_constraint:
+            state["cstate"] = jnp.zeros((U, K), jnp.int32)
 
         def beam_empty(s):
             return jnp.all(s["alive_costs"] >= INF, axis=1)
@@ -193,6 +293,15 @@ class BeamSearch:
                                             beam=K)
             # rank in f32 even when the model computes in bf16
             logprobs = costs_vec.astype(jnp.float32).reshape(U, K, V)
+            if use_constraint:
+                # mask symbols the constraint FST forbids; EOS only from
+                # accepting states (device-side validate_solution role)
+                rows = ctrans[s["cstate"]]                     # (U, K, V)
+                is_eol = jnp.arange(V) == eol_symbol           # (V,)
+                allowed = jnp.where(is_eol[None, None, :],
+                                    cfinal[s["cstate"]][:, :, None],
+                                    rows != NOT_STATE)
+                logprobs = jnp.where(allowed, logprobs, INF)
             next_costs = s["alive_costs"][:, :, None] + logprobs
             flat = next_costs.reshape(U, K * V)
             chosen_costs, flat_idx = jax.lax.top_k(-flat, K)
@@ -229,9 +338,13 @@ class BeamSearch:
             if ignore_first_eol:
                 is_eos = is_eos & (i > 0)
             # prev_costs guard: rows already retired (INF) must not
-            # re-finish with garbage costs
+            # re-finish with garbage costs.  The ~stopped gate matches the
+            # reference's control flow exactly: blocks/search.py:306-332
+            # checks the stopping criteria at the TOP of iteration i and
+            # breaks BEFORE expanding, so candidates from the expansion
+            # after the stop decision must not enter the done set.
             finishing = (is_eos & (step_costs < round_to_inf)
-                         & (prev_costs < INF / 2))
+                         & (prev_costs < INF / 2) & ~stopped[:, None])
             adjusted = chosen_costs - char_discount * (alive_len + 1.0)
 
             # merge finishing hyps into the done set: 2K candidates -> K
@@ -249,7 +362,16 @@ class BeamSearch:
             # finished rows leave the beam
             alive_costs = jnp.where(is_eos, INF, chosen_costs)
 
+            new_s = {}
+            if use_constraint:
+                cstate_sel = jnp.take_along_axis(s["cstate"], beam_idx,
+                                                 axis=1)
+                nxt = ctrans[cstate_sel, symbols]
+                new_s["cstate"] = jnp.where(
+                    is_eos, cstate_sel, jnp.maximum(nxt, 0))
+
             return {
+                **new_s,
                 "carry": carry,
                 "alive_costs": alive_costs,
                 "alive_out": alive_out,

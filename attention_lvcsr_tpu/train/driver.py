@@ -604,7 +604,11 @@ def search(config, load_path, part="valid", decode_only=None, report=None,
     search_kwargs = {k: v for k, v in dict(
         char_discount=search_conf.get("char_discount"),
         round_to_inf=search_conf.get("round_to_inf"),
-        stop_on=search_conf.get("stop_on")).items() if v}
+        stop_on=search_conf.get("stop_on"),
+        # the reference's dataset-provided dictionary constraint
+        # (lvsr/main.py:803-804); DecodeConstraint runs on device
+        validate_solution_function=getattr(
+            data.info_dataset, "validate_solution", None)).items() if v}
 
     for number, example in enumerate(stream):
         if decode_only is not None and number not in decode_only:

@@ -120,6 +120,11 @@ class BeamSearchErrorRate(SimpleExtension):
             self.search_kwargs["round_to_inf"] = round_to_inf
         if stop_on is not None:
             self.search_kwargs["stop_on"] = stop_on
+        # dataset-provided dictionary constraint (lvsr/main.py:109-110)
+        validate = getattr(getattr(data, "info_dataset", data),
+                           "validate_solution", None)
+        if validate is not None:
+            self.search_kwargs["validate_solution_function"] = validate
         self.prefix = prefix
         self._record = record_name
         self.max_examples = max_examples
