@@ -33,6 +33,10 @@ def read_config(file_) -> dict:
     """Read YAML resolving ``parent:`` chains (env vars expanded)."""
     config = load_yaml(file_)
     if "parent" in config:
+        # $LVSR_TPU is the reference's $LVSR convention (env.sh:16);
+        # default it to the repo root so configs work out of the box
+        os.environ.setdefault("LVSR_TPU", os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
         parent_path = os.path.expandvars(config.pop("parent"))
         with open(parent_path) as src:
             parent = read_config(src)

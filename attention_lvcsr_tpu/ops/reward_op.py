@@ -24,7 +24,12 @@ import numpy as np
 
 from attention_lvcsr_tpu.ops.error_rate import batch_reward_and_gain
 
-BIG = jnp.int32(1 << 20)
+# plain numpy scalar, NOT jnp: a module-level jax Array closed over by a
+# traced function becomes a hoisted constant argument, and jax 0.9.0's
+# repeat-dispatch fast path drops const-args ("Execution supplied N
+# buffers but compiled program expected N+1") on every call after the
+# first.  numpy scalars embed as literals and dodge the whole class.
+BIG = np.int32(1 << 20)
 
 
 def reward_and_gain_callback(groundtruth, recognized, alphabet_size,

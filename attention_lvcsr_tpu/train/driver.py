@@ -493,6 +493,28 @@ def initialize_all(config, save_path, params_path=None, fast_start=False,
             patience_conf["notification_names"] = names
         extensions.append(Patience(**patience_conf))
 
+    plot_conf = mon_conf.get("plot")
+    if plot_conf:
+        from attention_lvcsr_tpu.train.extensions import Plot, PlotServer
+        # the reference's five predefined channel groups
+        # (lvsr/main.py:628-649)
+        channels = plot_conf.get("channels") or [
+            ["train_cost", "valid_sequence_total_cost"],
+            ([per_monitoring.record_name_full]
+             if per_monitoring is not None else []),
+            ["total_gradient_norm", "total_step_norm"],
+            ["max_energy", "min_energy"],
+            ["weights_entropy", "weights_penalty"],
+        ]
+        channels = [g for g in channels if g]
+        if plot_conf.get("path"):
+            extensions.append(Plot(
+                os.path.expandvars(plot_conf["path"]), channels,
+                every_n_batches=plot_conf.get("every_n_batches", 100)))
+        if plot_conf.get("serve"):
+            extensions.append(PlotServer(
+                channels, port=int(plot_conf.get("port", 0))))
+
     extensions.append(Printing(every_n_batches=1, after_epoch=True))
 
     return recognizer, algorithm, data, extensions

@@ -448,6 +448,122 @@ class Plot(SimpleExtension):
             json.dump(series, f)
 
 
+class PlotServer(TrainingExtension):
+    """Live training-curve view over HTTP (the blocks-extras bokeh-server
+    ``Plot`` role, blocks_extras/extensions/plot.py:24-213, without the
+    bokeh dependency): a stdlib HTTP server on a background thread serves
+    an auto-refreshing page that draws the log channels client-side.
+
+    ``GET /`` -> HTML page (one chart per channel group, canvas-drawn,
+    refreshed every few seconds); ``GET /data.json`` -> the raw series.
+
+    Caveat: the handler thread shares the GIL with the training process,
+    so fetches stall during long pure-Python tracing windows (first
+    compile of a new batch shape); during steady-state training the jit
+    step releases the GIL and the server is responsive.
+    """
+
+    PAGE = """<!doctype html><html><head><title>{title}</title><style>
+    body{{font-family:sans-serif;background:#fafafa;margin:20px}}
+    .chart{{display:inline-block;margin:10px;background:#fff;
+            border:1px solid #ddd;padding:8px}}
+    h3{{margin:4px 0;font-size:14px}}</style></head><body>
+    <h2>{title}</h2><div id="charts"></div><script>
+    const palette=['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd'];
+    async function refresh(){{
+      const groups=await (await fetch('data.json')).json();
+      const root=document.getElementById('charts');root.innerHTML='';
+      groups.forEach(function(group,gi){{
+        const div=document.createElement('div');div.className='chart';
+        const names=Object.keys(group);
+        div.innerHTML='<h3>'+names.join(' / ')+'</h3>';
+        const cv=document.createElement('canvas');
+        cv.width=420;cv.height=220;div.appendChild(cv);root.appendChild(div);
+        const ctx=cv.getContext('2d');
+        let xs=[],ys=[];
+        names.forEach(n=>group[n].forEach(p=>{{xs.push(p[0]);ys.push(p[1]);}}));
+        if(!xs.length)return;
+        const x0=Math.min(...xs),x1=Math.max(...xs)||1;
+        const y0=Math.min(...ys),y1=Math.max(...ys);
+        const sx=t=>10+400*(t-x0)/Math.max(x1-x0,1e-9);
+        const sy=v=>205-190*(v-y0)/Math.max(y1-y0,1e-9);
+        names.forEach(function(n,i){{
+          ctx.strokeStyle=palette[i%palette.length];ctx.beginPath();
+          group[n].forEach(function(p,k){{
+            k?ctx.lineTo(sx(p[0]),sy(p[1])):ctx.moveTo(sx(p[0]),sy(p[1]));
+          }});ctx.stroke();
+          ctx.fillStyle=palette[i%palette.length];
+          ctx.fillText(n+' '+(group[n].length?
+            group[n][group[n].length-1][1].toPrecision(4):''),15,12+12*i);
+        }});
+        ctx.fillStyle='#888';
+        ctx.fillText(y1.toPrecision(3),350,14);
+        ctx.fillText(y0.toPrecision(3),350,215);
+      }});
+    }}
+    refresh();setInterval(refresh,5000);</script></body></html>"""
+
+    def __init__(self, channels, port=0, title="training"):
+        self.channels = channels
+        self.port = port
+        self.title = title
+        self._httpd = None
+
+    def _series(self):
+        log = self.main_loop.log
+        groups = []
+        for group in self.channels:
+            data = {}
+            for name in group:
+                times, values = log.channel(name)
+                data[name] = [[int(t), float(v)]
+                              for t, v in zip(times, values)
+                              if isinstance(v, (int, float))
+                              and math.isfinite(float(v))]
+            groups.append(data)
+        return groups
+
+    def before_training(self):
+        import http.server
+        import json
+        import threading
+
+        ext = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def do_GET(self):
+                if self.path.rstrip("/") in ("", "/index.html"):
+                    body = ext.PAGE.format(title=ext.title).encode()
+                    ctype = "text/html"
+                elif self.path.lstrip("/") == "data.json":
+                    body = json.dumps(ext._series()).encode()
+                    ctype = "application/json"
+                else:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            ("0.0.0.0", self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+        print(f"PlotServer: live plots at http://localhost:{self.port}/",
+              file=sys.stderr)
+
+    def after_training(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
+
+
 class NanGuard(TrainingExtension):
     """Abort loudly on non-finite monitored values.
 

@@ -1,24 +1,51 @@
 #!/usr/bin/env python
-"""Throughput benchmark: encode + batched beam-10 decode on one chip.
+"""Throughput benchmark: decode (default + best config) and training.
 
-Metric (BASELINE.json): WSJ eval92-shaped utterances/sec/chip for
-encode + beam-10 decode; target >=100x realtime per chip
-(``vs_baseline`` = achieved realtime factor / 100).
+Primary metric (BASELINE.json): WSJ eval92-shaped utterances/sec/chip
+for encode + batched beam-10 decode in the BEST configuration
+(bfloat16 compute + the fully-fused Pallas score kernel); target
+>=100x realtime per chip (``vs_baseline`` = achieved realtime factor
+/ 100).  ``detail`` additionally reports the default (f32) decode
+configuration and a full training step (fwd+bwd+update) with an
+XLA-cost-analysis-based MFU estimate, so every README performance
+claim is reproduced by this artifact.
 
-Synthetic eval92-shaped load: 8-second utterances (800 frames of 10 ms,
-123-dim fbank+energy+deltas features), WSJ-paper flagship model
+Synthetic eval92-shaped load: 8-second utterances (800 frames of
+10 ms, 123-dim fbank+energy+delta features), WSJ-paper flagship model
 (4x250 BiGRU encoder with 2x2 temporal subsampling, conv-attention
-decoder, 32-char alphabet), batched on-device beam search with beam 10
-and a 100-step decode cap (~12.5 chars/s speaking rate + margin,
-max_decoded_length_scale=8).
+decoder with windowed prior, 32-char alphabet), beam 10, 100-step
+decode cap (~12.5 chars/s speaking rate + margin).
+
+Timing discipline: median of REPEATS runs (min/max reported) — the
+shared dev chip drifts run-to-run, and a median is an honest central
+estimate where best-of-N is not.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import sys
 import time
 
 import numpy as np
+
+BATCH = 64
+FRAMES = 800            # 8 s per utterance at 10 ms hop
+FRAME_S = 0.01
+BEAM = 10
+LABELS = 100            # ~12.5 chars/s teacher-forced transcript
+TRAIN_BATCH = 32
+REPEATS = 7
+
+# Peak matmul throughput used for the MFU denominator.  TPU v5e:
+# 197 TFLOP/s bf16 (f32 matmuls on TPU run through the MXU in bf16
+# passes, so the same peak is the right roofline for this model).
+PEAK_FLOPS = float(os.environ.get("LVSR_PEAK_FLOPS", 197e12))
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _enable_compilation_cache():
@@ -37,61 +64,143 @@ def _enable_compilation_cache():
         pass
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    _enable_compilation_cache()
+def _recognizer(use_pallas):
     from __graft_entry__ import FLAGSHIP_NET
     from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
-
-    BATCH = 64
-    FRAMES = 800           # 8 s per utterance at 10 ms hop
-    FRAME_S = 0.01
-    BEAM = 10
-    REPEATS = 5            # take the best (shared dev chip drifts ~2x)
-
     net_config = dict(FLAGSHIP_NET)
     net_config["max_decoded_length_scale"] = 8.0
-
-    rec = SpeechRecognizer(net_config, init_config={
+    net_config["use_pallas"] = use_pallas
+    return SpeechRecognizer(net_config, init_config={
         "/recognizer": {"weights_init": ["isotropic_gaussian", 0.1],
                         "biases_init": ["constant", 0.0],
                         "rec_weights_init": ["orthogonal"]}})
-    # decode computes in bf16 (candidate ranking stays f32)
-    rec.init_beam_search(BEAM, compute_dtype="bfloat16")
 
+
+def _timed(fn, repeats=REPEATS):
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return (statistics.median(times), min(times), max(times))
+
+
+def bench_decode(label, use_pallas, compute_dtype):
+    _log(f"bench decode[{label}]: use_pallas={use_pallas} "
+         f"dtype={compute_dtype}")
+    rec = _recognizer(use_pallas)
+    rec.init_beam_search(BEAM, compute_dtype=compute_dtype)
     rng = np.random.RandomState(0)
     inputs = rng.randn(BATCH, FRAMES, 123).astype("float32")
-    inputs_mask = np.ones((BATCH, FRAMES), "float32")
-
-    # warmup (compile)
-    out = rec.beam_search(inputs, inputs_mask, as_arrays=True)
+    mask = np.ones((BATCH, FRAMES), "float32")
+    out = rec.beam_search(inputs, mask, as_arrays=True)   # warmup/compile
     steps = int(out["steps"])
+    med, lo, hi = _timed(
+        lambda: rec.beam_search(inputs, mask, as_arrays=True))
+    rtf = BATCH * FRAMES * FRAME_S / med
+    return {
+        "utt_per_s": round(BATCH / med, 3),
+        "realtime_factor": round(rtf, 1),
+        "wall_s_median": round(med, 4),
+        "wall_s_min": round(lo, 4), "wall_s_max": round(hi, 4),
+        "decode_steps": steps,
+        "use_pallas": use_pallas, "compute_dtype": compute_dtype or "f32",
+    }
+
+
+def bench_train():
+    _log("bench train step")
+    import jax
+    import jax.numpy as jnp
+    from attention_lvcsr_tpu.train.driver import make_train_step
+    from attention_lvcsr_tpu.train.rules import build_optimizer
+
+    rec = _recognizer("auto")
+    config = {"net": rec.net_config,
+              "training": {"gradient_threshold": 100.0,
+                           "rules": ["adadelta"]},
+              "regularization": {}}
+    optimizer = build_optimizer(config["training"], {})
+    step_fn = make_train_step(rec, optimizer, config,
+                              eos_label=rec.net_config["eos_label"],
+                              input_key="recordings")
+    params = rec.params
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(0)
+    data = np.random.RandomState(0)
+    inputs = jnp.asarray(data.randn(TRAIN_BATCH, FRAMES, 123),
+                         jnp.float32)
+    inputs_mask = jnp.ones((TRAIN_BATCH, FRAMES), jnp.float32)
+    labels = jnp.asarray(
+        data.randint(0, 31, size=(TRAIN_BATCH, LABELS)), jnp.int32)
+    labels_mask = jnp.ones((TRAIN_BATCH, LABELS), jnp.float32)
+
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    args = (params, opt_state, rng, inputs, inputs_mask, labels,
+            labels_mask)
+
+    flops = None
+    try:
+        analysis = jax.jit(step_fn).lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0)) or None
+    except Exception as exc:                      # pragma: no cover
+        _log(f"cost_analysis unavailable: {exc}")
+
+    # warmup (also primes the donated-buffer path)
+    params, opt_state, monitors = jitted(*args)
+    jax.block_until_ready(monitors)
 
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
-        out = rec.beam_search(inputs, inputs_mask, as_arrays=True)
+        params, opt_state, monitors = jitted(
+            params, opt_state, rng, inputs, inputs_mask, labels,
+            labels_mask)
+        jax.block_until_ready(monitors)
         times.append(time.time() - t0)
-    wall = min(times)
+    med = statistics.median(times)
+    out = {
+        "utt_per_s": round(TRAIN_BATCH / med, 3),
+        "realtime_factor": round(
+            TRAIN_BATCH * FRAMES * FRAME_S / med, 1),
+        "wall_s_median": round(med, 4),
+        "wall_s_min": round(min(times), 4),
+        "wall_s_max": round(max(times), 4),
+        "batch": TRAIN_BATCH, "labels": LABELS,
+    }
+    if flops:
+        achieved = flops / med
+        out["step_tflops"] = round(flops / 1e12, 2)
+        out["achieved_tflop_s"] = round(achieved / 1e12, 2)
+        out["mfu_vs_197tflops_bf16"] = round(achieved / PEAK_FLOPS, 4)
+    return out
 
-    audio_seconds = BATCH * FRAMES * FRAME_S
-    utt_per_sec = BATCH / wall
-    rtf = audio_seconds / wall
+
+def main():
+    import jax
+    _enable_compilation_cache()
+
+    best = bench_decode("best", use_pallas="fused",
+                        compute_dtype="bfloat16")
+    default = bench_decode("default", use_pallas="auto",
+                           compute_dtype=None)
+    train = bench_train()
 
     print(json.dumps({
-        "metric": "wsj-shaped utterances/sec/chip, encode + beam-10 decode",
-        "value": round(utt_per_sec, 3),
+        "metric": ("wsj-shaped utterances/sec/chip, encode + beam-10 "
+                   "decode (bf16 + fused Pallas score kernel)"),
+        "value": best["utt_per_s"],
         "unit": "utt/s",
-        "vs_baseline": round(rtf / 100.0, 3),
+        "vs_baseline": round(best["realtime_factor"] / 100.0, 3),
         "detail": {
-            "realtime_factor": round(rtf, 1),
-            "batch": BATCH,
-            "frames": FRAMES,
-            "beam": BEAM,
-            "decode_steps": steps,
-            "wall_s": round(wall, 3),
+            "decode_best": best,
+            "decode_default": default,
+            "train_step": train,
+            "batch": BATCH, "frames": FRAMES, "beam": BEAM,
             "platform": jax.devices()[0].platform,
+            "device_kind": jax.devices()[0].device_kind,
         },
     }))
 

@@ -64,3 +64,40 @@ def test_plot_extension(tmp_path):
     loop.run()
     assert os.path.exists(path + ".json")
     assert os.path.exists(path + ".png")
+
+
+def test_plot_server_serves_live_data():
+    """PlotServer: HTML page + live channel JSON over HTTP during
+    training (the bokeh-server live-plot role, dependency-free)."""
+    import json
+    import urllib.request
+
+    from attention_lvcsr_tpu.train.extensions import (PlotServer,
+                                                      TrainingExtension)
+
+    server = PlotServer([["train_cost"]], port=0)
+    fetched = {}
+
+    class _Probe(TrainingExtension):
+        def after_epoch(self):
+            base = f"http://127.0.0.1:{server.port}"
+            with urllib.request.urlopen(base + "/", timeout=10) as r:
+                fetched["html"] = r.read().decode()
+            with urllib.request.urlopen(base + "/data.json",
+                                        timeout=10) as r:
+                fetched["data"] = json.loads(r.read())
+            try:
+                urllib.request.urlopen(base + "/nope", timeout=10)
+            except urllib.error.HTTPError as e:
+                fetched["missing_status"] = e.code
+
+    loop = MainLoop(_Algo([3.0, 2.0, 1.0]),
+                    lambda: iter([{}, {}, {}]),
+                    extensions=[server, _Probe(),
+                                FinishAfter(after_n_epochs=1)])
+    loop.run()
+    assert "<canvas" in fetched["html"] or "canvas" in fetched["html"]
+    series = fetched["data"][0]["train_cost"]
+    assert [v for _, v in series] == [3.0, 2.0, 1.0]
+    assert fetched["missing_status"] == 404
+    assert server._httpd is None  # shut down after training

@@ -125,6 +125,16 @@ def encode_text(text: str, char_map: Dict[str, int]) -> np.ndarray:
     return np.asarray(out, np.int64)
 
 
+def encode_tokens(text: str, token_map: Dict[str, int]) -> np.ndarray:
+    """Whitespace-token encoding (phone transcripts, TIMIT-style)."""
+    out = []
+    for token in text.split():
+        if token not in token_map:
+            raise SystemExit(f"token {token!r} missing from symbol table")
+        out.append(token_map[token])
+    return np.asarray(out, np.int64)
+
+
 def cmd_add_text(args):
     char_map: Dict[str, int] = {}
     if args.symbols:
@@ -136,11 +146,17 @@ def cmd_add_text(args):
     with open(args.transcripts) as f:
         pairs = [line.strip().split(None, 1) for line in f if line.strip()]
     if not char_map:
-        chars = sorted({("<spc>" if c == " " else c)
-                        for _, text in pairs for c in text})
-        for ch in chars + ["<noise>", "<eol>"]:
-            char_map.setdefault(ch, len(char_map))
-    items = [(uttid, encode_text(text, char_map)) for uttid, text in pairs]
+        if args.tokens:
+            toks = sorted({t for _, text in pairs for t in text.split()})
+            for t in toks + ["<eol>"]:
+                char_map.setdefault(t, len(char_map))
+        else:
+            chars = sorted({("<spc>" if c == " " else c)
+                            for _, text in pairs for c in text})
+            for ch in chars + ["<noise>", "<eol>"]:
+                char_map.setdefault(ch, len(char_map))
+    encode = encode_tokens if args.tokens else encode_text
+    items = [(uttid, encode(text, char_map)) for uttid, text in pairs]
     with h5py.File(args.h5, "a") as h5:
         _append_source(h5, args.source, items)
         klen = max(len(k) for k in char_map)
@@ -191,6 +207,10 @@ def main(argv=None):
     a.add_argument("h5"); a.add_argument("transcripts")
     a.add_argument("--source", default="labels")
     a.add_argument("--symbols", default=None)
+    a.add_argument("--tokens", action="store_true",
+                   help="whitespace-token transcripts (phones) instead of "
+                        "character-level (the reference's add_text "
+                        "--applymap mode)")
     a.set_defaults(fn=cmd_add_text)
 
     a = sub.add_parser("split", help="write the split table")
