@@ -19,3 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache (the Theano compiledir role): the quick
+# gate is compile-bound on a 1-CPU box, and most tests recompile the same
+# tiny programs every run.  Opt out with LVSR_TEST_NO_CACHE=1.
+if not os.environ.get("LVSR_TEST_NO_CACHE"):
+    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes", -1)

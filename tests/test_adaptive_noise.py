@@ -49,6 +49,7 @@ def _batch(B=1, T=8, TL=4):
             jnp.ones((B, TL), jnp.float32))
 
 
+@pytest.mark.slow
 def test_adaptive_noise_step_runs_and_learns():
     rec, optimizer, step = _setup()
     params = rec.params

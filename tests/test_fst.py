@@ -168,6 +168,7 @@ def test_device_lm_parity_arpa():
     _random_walk_parity(fst, 2, remap, steps=6, seed=1)
 
 
+@pytest.mark.slow
 def test_lm_only_decoding_follows_the_lm(tmp_path):
     """With am_beta=0 and lm weight 1, the decode must reproduce exactly
     the single string a strict chain LM accepts — a full end-to-end

@@ -33,7 +33,7 @@ def test_toeplitz_matches_conv1d():
 
 
 @pytest.mark.parametrize("prior", [
-    None,
+    pytest.param(None, marks=pytest.mark.slow),
     {"type": "expanding", "initial_begin": 0, "initial_end": 6,
      "min_speed": 1.0, "max_speed": 2.0},
     {"type": "window_around_mean", "before": 3, "after": 3},

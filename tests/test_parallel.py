@@ -15,11 +15,13 @@ def test_mesh_shapes():
     assert dict(mesh.shape) == {"data": 8, "model": 1}
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_dp_tp():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_single():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(1)

@@ -76,7 +76,8 @@ def test_mse_reward_criterion_runs():
     assert np.isfinite(np.asarray(out["costs"])).all()
 
 
-@pytest.mark.parametrize("exploration", ["imitative", "greedy", "mixed"])
+@pytest.mark.parametrize("exploration", [
+    pytest.param("imitative", marks=pytest.mark.slow), "greedy", "mixed"])
 def test_task_loss_train_step(exploration):
     rec = _make("mse_gain")
     config = {

@@ -41,6 +41,7 @@ def _run_cost(cfg, discrete=False):
     return net, params, out
 
 
+@pytest.mark.slow
 def test_dec_stack_2():
     cfg = dict(BASE, dec_stack=2, use_states_for_readout=True)
     net, params, out = _run_cost(cfg)
