@@ -37,6 +37,9 @@ def _apply_constructor(loader, suffix, node):
         args = []
     if name in _ACTIVATIONS and not args:
         return _ACTIVATIONS[name]
+    if name == "Maxout" and isinstance(args, list) and args:
+        # Maxout carries num_pieces (blocks/bricks/simple.py:155-158).
+        return f"maxout:{args[0]}"
     if isinstance(args, dict):
         spec = dict(args)
         spec["type"] = name

@@ -102,11 +102,28 @@ class Readout(nn.Module):
             self.post_merge = []
 
     def _activation(self, x):
-        if self.post_merge_activation == "tanh":
+        act = self.post_merge_activation
+        if act == "tanh":
             return jnp.tanh(x)
-        if self.post_merge_activation == "relu":
+        if act in ("relu", "rectifier"):
             return jax.nn.relu(x)
-        raise ValueError(self.post_merge_activation)
+        if act in ("sigmoid", "logistic"):
+            return jax.nn.sigmoid(x)
+        if act == "identity":
+            return x
+        if act.startswith("maxout"):
+            # max over groups of ``num_pieces`` units; shrinks the last dim
+            # by that factor (blocks/bricks/simple.py:160-181 — the MLP dim
+            # trick in lvsr recognizer.py:307-317 then feeds d//pieces to
+            # the next layer, which flax infers automatically).
+            pieces = int(act.split(":")[1]) if ":" in act else 2
+            d = x.shape[-1]
+            if d % pieces:
+                raise ValueError(
+                    f"maxout: last dim {d} not divisible by {pieces}")
+            grouped = x.reshape(x.shape[:-1] + (d // pieces, pieces))
+            return jnp.max(grouped, axis=-1)
+        raise ValueError(act)
 
     def __call__(self, sources: Mapping[str, Any]):
         merged = self.merge_bias

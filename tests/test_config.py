@@ -120,3 +120,42 @@ def test_loads_reference_wsj_config(monkeypatch):
     assert config["net"]["subsample"] == [1, 1, 2, 2]
     assert config["net"]["prior"]["type"] == "window_around_median"
     assert "stages" in config
+
+
+def test_all_shipped_configs_validate():
+    """Every experiment config under exp/ and every prototype parses,
+    schema-validates, and expands its stages (reference parity for the
+    config library: exp/wsj/configs, exp/timit/configs)."""
+    import glob
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    paths = sorted(
+        glob.glob(os.path.join(root, "exp", "*", "configs", "*.yaml"))
+        + glob.glob(os.path.join(root, "attention_lvcsr_tpu", "config",
+                                 "prototypes", "*.yaml")))
+    assert len(paths) >= 15
+    for path in paths:
+        config = Configuration(path)
+        if config.multi_stage:
+            assert config.ordered_stages
+
+
+def test_stage_deletion_with_null(tmp_path):
+    """A child config can delete a parent stage by setting it to null
+    (reference wsj_reward1.yaml: ``annealing2: null``)."""
+    parent = tmp_path / "parent.yaml"
+    parent.write_text(textwrap.dedent("""
+        net: {dim_dec: 4}
+        stages:
+            a: {number: 0, training: {num_epochs: 1}}
+            b: {number: 1, training: {num_epochs: 2}}
+    """))
+    child = tmp_path / "child.yaml"
+    child.write_text("parent: %s\nstages:\n    b: null\n" % parent)
+    config = Configuration(str(child))
+    assert list(config.ordered_stages) == ["a"]
+
+
+def test_maxout_tag_resolution():
+    text = "net:\n post_merge_activation: !!python/object/apply:blocks.bricks.Maxout [2]\n"
+    config = load_yaml(text)
+    assert config["net"]["post_merge_activation"] == "maxout:2"

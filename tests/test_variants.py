@@ -129,3 +129,17 @@ def test_datastream_monitoring_weighted_mean():
                     extensions=[mon, FinishAfter(after_n_epochs=1)])
     loop.run()
     assert loop.log.last_value("valid_v") == 3.0  # (10+2)/(2+2)
+
+
+def test_maxout_readout():
+    """Maxout(2) post-merge (reference wsj_jan_new.yaml readout;
+    blocks/bricks/simple.py:134-181): merged dim halves before the final
+    projection and the cost stays finite."""
+    cfg = dict(BASE, post_merge_dims=[6], post_merge_activation="maxout:2")
+    net, params, out = _run_cost(cfg)
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params["params"])
+    kernels = {"/".join(p): v for p, v in flat.items()
+               if "post_merge_0" in "/".join(p) and p[-1] == "kernel"}
+    (kernel,) = kernels.values()
+    assert kernel.shape[0] == 3  # 6 merged units -> 3 maxout groups
