@@ -548,6 +548,40 @@ class SequenceGenerator(nn.Module):
             "tri": jnp.triu(jnp.ones((length, length), jnp.float32)),
         }
 
+    def loop_decode_tables(self, length, dtype):
+        """Dense weight tables for the whole-loop decode kernel
+        (ops/pallas/beam_loop.py): the fused score tables plus the
+        decoder-advance weights (feedback embedding, fork/distribute
+        projections, GRU matrices).  Extracted through identity-input
+        calls so the flax parameter tree stays identical to the XLA
+        path."""
+        t = self.fused_score_tables(length, dtype)
+        cell = self.cells[0]
+        Vf = self.num_outputs + 1
+        embed = self.feedback(jnp.arange(Vf)).astype(dtype)     # (Vf, F)
+        F = embed.shape[-1]
+        S = self.dim_dec
+        D = self.attention.attended_dim
+        fin = self.forks[0]["inputs"]
+        fgate = self.forks[0]["gate_inputs"]
+        fin_b = fin(jnp.zeros((1, F), dtype))[0]
+        fgate_b = fgate(jnp.zeros((1, F), dtype))[0]
+        t.update({
+            "embed": embed,
+            "fork_in_w": fin(jnp.eye(F, dtype=dtype)) - fin_b[None, :],
+            "fork_in_b": fin_b,
+            "fork_gate_w": fgate(jnp.eye(F, dtype=dtype)) - fgate_b[None, :],
+            "fork_gate_b": fgate_b,
+            "dist_in_w": self.distributes[0]["inputs"](
+                jnp.eye(D, dtype=dtype)),
+            "dist_gate_w": self.distributes[0]["gate_inputs"](
+                jnp.eye(D, dtype=dtype)),
+            "wsg": cell.state_to_gates.astype(dtype),
+            "wss": cell.state_to_state.astype(dtype),
+            "h0": cell.initial_state.astype(dtype),
+        })
+        return t
+
     def _fused_score(self, carry, contexts, beam, interpret):
         from attention_lvcsr_tpu.ops.pallas.decode_score import \
             fused_decode_score

@@ -228,6 +228,20 @@ class RecognizerNet(nn.Module):
                 encoded.shape[1], encoded.dtype)
         return ctx
 
+    def decode_loop(self, inputs, inputs_mask):
+        """Everything the whole-loop decode kernel consumes
+        (ops/pallas/beam_loop.py): encoder outputs + preprocessed
+        energies input + dense decoder tables."""
+        encoded, encoded_mask, _ = self.encode(inputs, inputs_mask,
+                                               fast=True)
+        return {
+            "pre": self.generator.attention.preprocess(encoded),
+            "attended": encoded,
+            "attended_mask": encoded_mask,
+            "tables": self.generator.loop_decode_tables(
+                encoded.shape[1], encoded.dtype),
+        }
+
     def decode_init(self, batch_size, contexts):
         return self.generator.initial_states(batch_size,
                                              contexts["attended"])
@@ -478,14 +492,21 @@ class SpeechRecognizer:
         ignorable entries past the caller's batch size.
         """
         self.init_beam_search(self.beam_size or 10)
-        inputs = np.asarray(inputs)
+        # Device arrays stay on device: converting them to numpy here
+        # would round-trip the (large) feature tensor host<->device on
+        # every call, which dwarfs the decode itself on a tunneled chip.
+        on_device = isinstance(inputs, jax.Array)
+        if not on_device:
+            inputs = np.asarray(inputs)
         if (inputs.ndim == 2 and np.issubdtype(inputs.dtype, np.floating)) \
                 or inputs.ndim == 1:
             # single utterance: (T, F) floats or (T,) discrete tokens
             inputs = inputs[None]
+        xp = jnp if on_device else np
         if inputs_mask is None:
-            inputs_mask = np.ones(inputs.shape[:2], np.float32)
-        inputs_mask = np.asarray(inputs_mask, np.float32)
+            inputs_mask = xp.ones(inputs.shape[:2], np.float32)
+        else:
+            inputs_mask = xp.asarray(inputs_mask, np.float32)
         B, T = inputs.shape[:2]
         max_length = int(T / self.max_decoded_length_scale)
 
@@ -496,12 +517,10 @@ class SpeechRecognizer:
         if B == 1:
             B_pad = 1  # the single-utterance path stays single
         if (T_pad, B_pad) != (T, B):
-            padded = np.zeros((B_pad, T_pad) + inputs.shape[2:],
-                              inputs.dtype)
-            padded[:B, :T] = inputs
-            mask = np.zeros((B_pad, T_pad), np.float32)
-            mask[:B, :T] = inputs_mask
-            inputs, inputs_mask = padded, mask
+            widths = (((0, B_pad - B), (0, T_pad - T))
+                      + ((0, 0),) * (inputs.ndim - 2))
+            inputs = xp.pad(inputs, widths)
+            inputs_mask = xp.pad(inputs_mask, widths[:2])
         return self._beam_search.search(
             self.params, inputs, inputs_mask, self.eos_label, max_length,
             ignore_first_eol=self.data_prepend_eos, **kwargs)

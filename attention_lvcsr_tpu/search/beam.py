@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -143,21 +144,39 @@ class BeamSearch:
             raise TypeError(
                 "validate_solution_function must be a DecodeConstraint, "
                 "a callable, or None")
-        key = (inputs.shape, stop_on, bool(ignore_first_eol),
-               constraint is not None)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(functools.partial(
-                self._search_core, stop_on=stop_on,
-                ignore_first_eol=bool(ignore_first_eol),
-                use_constraint=constraint is not None))
-        cargs = ()
-        if constraint is not None:
-            cargs = (jnp.asarray(constraint.trans),
-                     jnp.asarray(constraint.final))
-        out = self._jitted[key](
-            params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
-            jnp.int32(eol_symbol), jnp.int32(max_length),
-            jnp.float32(char_discount), jnp.float32(round_to_inf), *cargs)
+        loop_mode = (self._loop_kernel_mode()
+                     if constraint is None else None)
+        if loop_mode is not None:
+            key = ("loop", inputs.shape, stop_on, bool(ignore_first_eol),
+                   int(max_length), float(char_discount),
+                   float(round_to_inf))
+            if key not in self._jitted:
+                self._jitted[key] = jax.jit(functools.partial(
+                    self._search_loop_kernel, stop_on=stop_on,
+                    ignore_first_eol=bool(ignore_first_eol),
+                    eol=int(eol_symbol), max_len=max(1, int(max_length)),
+                    char_discount=float(char_discount),
+                    round_to_inf=float(round_to_inf),
+                    interpret=loop_mode == "interpret"))
+            out = self._jitted[key](params, jnp.asarray(inputs),
+                                    jnp.asarray(inputs_mask))
+        else:
+            key = (inputs.shape, stop_on, bool(ignore_first_eol),
+                   constraint is not None)
+            if key not in self._jitted:
+                self._jitted[key] = jax.jit(functools.partial(
+                    self._search_core, stop_on=stop_on,
+                    ignore_first_eol=bool(ignore_first_eol),
+                    use_constraint=constraint is not None))
+            cargs = ()
+            if constraint is not None:
+                cargs = (jnp.asarray(constraint.trans),
+                         jnp.asarray(constraint.final))
+            out = self._jitted[key](
+                params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
+                jnp.int32(eol_symbol), jnp.int32(max_length),
+                jnp.float32(char_discount), jnp.float32(round_to_inf),
+                *cargs)
         out = {k: np.asarray(v) for k, v in out.items()}
         if post_filter is not None:
             out["done_valid"] = out["done_valid"].copy()
@@ -191,6 +210,81 @@ class BeamSearch:
         return outputs, costs
 
     # ------------------------------------------------------------------
+    def _loop_kernel_mode(self):
+        """'compile'/'interpret' when the whole-loop Pallas decode kernel
+        (ops/pallas/beam_loop.py) covers this model, else None.  The
+        support conditions mirror
+        ``SequenceGenerator.fused_score_supported`` but are evaluated
+        from the RecognizerNet config fields (available outside apply)."""
+        net = self.net
+        if os.environ.get("LVSR_NO_LOOP_KERNEL"):
+            return None
+        if not hasattr(net, "criterion"):
+            return None  # scripted/test doubles: XLA path only
+        crit = dict(net.criterion or {"name": "log_likelihood"})
+        lm = dict(net.lm) if net.lm else {}
+        canon = lambda n: n.rsplit(".", 1)[-1] if isinstance(n, str) else n
+        supported = (
+            net.attention_type == "content_and_conv"
+            and net.conv_num_filters == 1
+            and (net.energy_normalizer or "softmax") == "softmax"
+            and not net.use_states_for_readout
+            and crit["name"] == "log_likelihood"
+            and not lm.get("path")
+            and net.dec_stack == 1
+            and canon(net.dec_transition) in ("gru", "GatedRecurrent")
+            and net.post_merge_dims is not None
+            and len(net.post_merge_dims) == 1
+            and net.post_merge_activation == "tanh")
+        if not supported:
+            return None
+        if net.use_pallas == "interpret":
+            return "interpret"
+        if net.use_pallas == "never":
+            return None
+        if jax.default_backend() == "tpu":
+            return "compile"
+        return None
+
+    def _search_loop_kernel(self, params, inputs, inputs_mask, *,
+                            stop_on, ignore_first_eol, eol, max_len,
+                            char_discount, round_to_inf, interpret):
+        """Whole-loop Pallas decode: encoder + ONE kernel."""
+        from attention_lvcsr_tpu.ops.pallas.beam_loop import (
+            INF as LOOP_INF, beam_search_loop)
+        net = self.net
+        if self.compute_dtype is not None:
+            dtype = jnp.dtype(self.compute_dtype)
+            cast = (lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            params = jax.tree.map(cast, params)
+            inputs = inputs.astype(dtype)
+            inputs_mask = inputs_mask.astype(dtype)
+        data = net.apply(params, inputs, inputs_mask,
+                         method=net.decode_loop)
+        prior = dict(net.prior or {})
+        done_out, done_meta, steps = beam_search_loop(
+            data["pre"], data["attended"], data["attended_mask"],
+            data["tables"], beam=self.beam_size, max_len=max_len,
+            eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
+            char_discount=char_discount, round_to_inf=round_to_inf,
+            prior=prior.get("type", "expanding"),
+            before=float(prior.get("before", 0.0)),
+            after=float(prior.get("after", 0.0)),
+            initial_begin=float(prior.get("initial_begin", 0.0)),
+            initial_end=float(prior.get("initial_end", 1e4)),
+            min_speed=float(prior.get("min_speed", 0.0)),
+            max_speed=float(prior.get("max_speed", 0.0)),
+            interpret=interpret)
+        return {
+            "done_out": done_out,
+            "done_cost": done_meta[:, :, 0],
+            "done_adjusted": done_meta[:, :, 1],
+            "done_len": done_meta[:, :, 2].astype(jnp.int32),
+            "done_valid": done_meta[:, :, 1] < LOOP_INF / 2,
+            "steps": jnp.max(steps),
+        }
+
     def _search_core(self, params, inputs, inputs_mask, eol_symbol,
                      max_length, char_discount, round_to_inf,
                      ctrans=None, cfinal=None, *,
