@@ -68,7 +68,10 @@ class Data:
         self.prefetch = prefetch
         self.dataset_cache = {}
         if isinstance(normalization, str):
-            normalization = Normalization.load(normalization)
+            # "" means "no normalization" (wsj_good_fbank.yaml sets it
+            # to clear the inherited wsj_norm.pkl)
+            normalization = (Normalization.load(normalization)
+                             if normalization else None)
         self.normalization = normalization
         # length filter on the first conceptual source (input lengths)
         self.length_filter = LengthFilter(

@@ -238,7 +238,9 @@ def build_optimizer(train_conf: dict, reg_conf: Optional[dict] = None):
             chain.append(adagrad_rule(train_conf.get("scale", 0.002)))
         else:
             raise ValueError(f"unknown training rule {name!r}")
-    if reg_conf.get("max_norm", 0):
+    # negative/zero disables (wsj_paper9 sets -1.; reference
+    # lvsr/main.py:491 tests `> 0`)
+    if reg_conf.get("max_norm", 0) and reg_conf["max_norm"] > 0:
         chain.append(max_norm_constraint(
             reg_conf["max_norm"],
             exclude_lookup=reg_conf.get("max_norm_exclude_lookup", False)))

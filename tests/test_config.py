@@ -159,3 +159,66 @@ def test_maxout_tag_resolution():
     text = "net:\n post_merge_activation: !!python/object/apply:blocks.bricks.Maxout [2]\n"
     config = load_yaml(text)
     assert config["net"]["post_merge_activation"] == "maxout:2"
+
+
+def test_wsj_good_builds_and_steps():
+    """The pre-paper `wsj_good` lineage exercises keys the paper chain
+    does not: rectifier bottom, use_states_for_readout, the
+    momentum+adadelta rule chain, and wide conv_n.  Build the model
+    (shrunk dims) and take one optimizer step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+    from attention_lvcsr_tpu.train import rules
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    config = Configuration(
+        os.path.join(root, "exp/wsj/configs/wsj_good.yaml"),
+        config_changes=[
+            ["net.dim_dec", 10], ["net.dims_bidir", [8]],
+            ["net.bottom.dims", [9]], ["net.conv_n", 5],
+        ])
+    net_config = dict(config["net"])
+    assert net_config["use_states_for_readout"] is True
+    assert net_config["bottom"]["activation"] == "rectifier"
+    rec = SpeechRecognizer(
+        dict(net_config, input_dims={"recordings": 6},
+             input_num_chars={}, eos_label=4, num_phonemes=5),
+        init_config=config["initialization"], seed=0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 6), jnp.float32)
+    xm = jnp.ones((2, 12), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 5, (2, 4)), jnp.int32)
+    ym = jnp.ones((2, 4), jnp.float32)
+
+    def loss(p):
+        return rec.net.apply(p, x, xm, y, ym,
+                             method=rec.net.cost)["costs"].sum()
+
+    opt = rules.build_optimizer(config["training"],
+                                config.get("regularization", {}))
+    state = opt.init(rec.params)
+    grads = jax.grad(loss)(rec.params)
+    updates, _ = opt.update(grads, state, rec.params)
+    assert np.isfinite(float(loss(rec.params)))
+    assert all(np.all(np.isfinite(u)) for u in jax.tree.leaves(updates))
+
+
+def test_max_norm_negative_disables():
+    """wsj_paper9 sets regularization.max_norm -1. to turn the
+    constraint off (reference lvsr/main.py:491 tests `> 0`)."""
+    from attention_lvcsr_tpu.train import rules
+    opt_off = rules.build_optimizer({"rules": ["adadelta"]},
+                                    {"max_norm": -1.0})
+    opt_on = rules.build_optimizer({"rules": ["adadelta"]},
+                                   {"max_norm": 1.0})
+    import jax.numpy as jnp
+    params = {"kernel": jnp.ones((4, 4)) * 10.0}
+    for opt, expect_clip in [(opt_off, False), (opt_on, True)]:
+        state = opt.init(params)
+        updates, _ = opt.update({"kernel": jnp.zeros((4, 4))}, state,
+                                params)
+        new = params["kernel"] + updates["kernel"]
+        clipped = bool(jnp.all(jnp.linalg.norm(new, axis=0) < 10.0))
+        assert clipped == expect_clip
