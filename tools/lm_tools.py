@@ -79,13 +79,35 @@ def _unigram_lines(path, strip_weights):
 
 
 def cmd_arpa_to_unigram(args):
+    out = args_outfile(args)
     for line in _unigram_lines(args.arpa, strip_weights=False):
-        print(line, file=args_outfile(args))
+        print(line, file=out)
 
 
 def cmd_arpa_to_dict(args):
+    out = args_outfile(args)
     for line in _unigram_lines(args.arpa, strip_weights=True):
-        print(line, file=args_outfile(args))
+        print(line, file=out)
+
+
+def cmd_dict_lm_from_text(args):
+    """Uniform dictionary "LM" over every word of a transcript file
+    (reference bin/create_dict_lm_from_text.sh): lines are
+    ``uttid w1 w2 ...``; all words get log-prob 0."""
+    words = set()
+    with open(args.text) as f:
+        for line in f:
+            words.update(line.split()[1:])
+    words.discard("<UNK>")
+    out = args_outfile(args)
+    print("\\data\\", file=out)
+    print(f"ngram 1={len(words) + 3}", file=out)
+    print("\\1-grams:", file=out)
+    for w in ("<UNK>", "</s>", "<s>"):
+        print(f"0 {w}", file=out)
+    for w in sorted(words):
+        print(f"0 {w}", file=out)
+    print("\\end\\", file=out)
 
 
 def args_outfile(args):
@@ -326,6 +348,10 @@ def main(argv=None):
     a = sub.add_parser("dict-fst")
     a.add_argument("words"); a.add_argument("out")
     a.set_defaults(fn=cmd_dict_fst)
+
+    a = sub.add_parser("dict-lm-from-text")
+    a.add_argument("text"); a.add_argument("out", default="-", nargs="?")
+    a.set_defaults(fn=cmd_dict_lm_from_text)
 
     a = sub.add_parser("create-lexicon")
     a.add_argument("arpa")
