@@ -120,6 +120,20 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
                  {"name": "log_likelihood"})["name"]
     if exploration not in ("imitative", "greedy", "mixed"):
         raise ValueError(f"unknown exploration {exploration!r}")
+    # Mixed-precision training (training.compute_dtype: bfloat16):
+    # master params, optimizer state, and every reduction stay float32;
+    # the network fwd/bwd (the HBM-bound encoder/decoder scans and MXU
+    # matmuls) run in bf16.  bf16 shares float32's exponent range, so no
+    # loss scaling is needed.
+    compute_dtype = train_conf.get("compute_dtype")
+    cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
+
+    def _downcast(tree):
+        if cdtype is None:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(cdtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
     def step(params, opt_state, rng, inputs, inputs_mask, labels,
              labels_mask):
@@ -133,7 +147,8 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
             # predictions, mask after the first EOS (mask rolled so the
             # EOS step itself is still counted).
             n_steps = TL + 10
-            gen = net.apply(params, inputs, inputs_mask, n_steps, expl_rng,
+            gen = net.apply(_downcast(params), _downcast(inputs),
+                            _downcast(inputs_mask), n_steps, expl_rng,
                             method=net.generate)
             pred_tm = gen["outputs"]                       # (T', B)
             pmask = (jnp.cumsum(pred_tm == eos_label, axis=0) < 1
@@ -165,10 +180,15 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
                 p_used = jax.tree_util.tree_unflatten(treedef, noised)
 
             out = net.apply(
-                p_used, inputs, inputs_mask, labels, labels_mask,
-                prediction, prediction_mask, True,
+                _downcast(p_used), _downcast(inputs),
+                _downcast(inputs_mask), labels, _downcast(labels_mask),
+                prediction, _downcast(prediction_mask), True,
                 method=net.cost,
                 rngs={"dropout": drop_rng} if dropout else {})
+            if cdtype is not None:
+                out = jax.tree.map(
+                    lambda v: v.astype(jnp.float32)
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v, out)
             batch_cost = out["costs"].sum()
             cost = batch_cost / B
             lm = (prediction_mask if prediction_mask is not None

@@ -244,6 +244,19 @@ def build_optimizer(train_conf: dict, reg_conf: Optional[dict] = None):
         chain.append(max_norm_constraint(
             reg_conf["max_norm"],
             exclude_lookup=reg_conf.get("max_norm_exclude_lookup", False)))
+    # scale_schedule: [[step, factor], ...] — multiply the step by the
+    # factor of the last boundary passed (the blocks
+    # SharedVariableModifier role, blocks/extensions/training.py:5-46,
+    # done the XLA way: the schedule is compiled into the update instead
+    # of mutated from the host mid-training).
+    if train_conf.get("scale_schedule"):
+        sched = optax.piecewise_constant_schedule(
+            1.0, {int(step): float(factor) / prev_factor
+                  for (step, factor), prev_factor in zip(
+                      train_conf["scale_schedule"],
+                      [1.0] + [float(f) for _, f in
+                               train_conf["scale_schedule"][:-1]])})
+        chain.append(optax.scale_by_schedule(sched))
     chain.append(remove_not_finite(0.0))
     if train_conf.get("burn_in_steps", 0):
         chain.append(burn_in(train_conf["burn_in_steps"]))

