@@ -22,7 +22,8 @@ from typing import Dict, List, Optional, Tuple
 import yaml
 
 from attention_lvcsr_tpu.config.registry import make_loader
-from attention_lvcsr_tpu.config.schema import validate_config
+from attention_lvcsr_tpu.config.schema import (coerce_config,
+                                                validate_config)
 
 
 def load_yaml(text_or_file):
@@ -78,6 +79,7 @@ class Configuration(dict):
             config = read_config(src)
         make_config_changes(config, list(config_changes))
 
+        coerce_config(config, schema_path=schema_path)
         self.multi_stage = "stages" in config
         self.ordered_stages: "OrderedDict[str, dict]" = OrderedDict()
         if self.multi_stage:

@@ -47,6 +47,20 @@ def _apply_constructor(loader, suffix, node):
     return [name] + list(args)
 
 
+def _object_constructor(loader, suffix, node):
+    # ``!!python/object:blocks.initialization.Uniform {width: 0.1}``
+    # (wsj_bhd*.yaml) — kwargs-style instantiation; same spec form as
+    # the mapping branch of object/apply.
+    name = suffix.rsplit(".", 1)[-1]
+    kwargs = (loader.construct_mapping(node, deep=True)
+              if isinstance(node, yaml.MappingNode) else {})
+    if name in _ACTIVATIONS and not kwargs:
+        return _ACTIVATIONS[name]
+    spec = dict(kwargs)
+    spec["type"] = name
+    return spec
+
+
 def make_loader():
     class ConfigLoader(yaml.SafeLoader):
         pass
@@ -55,4 +69,6 @@ def make_loader():
         "tag:yaml.org,2002:python/name:", _name_constructor)
     ConfigLoader.add_multi_constructor(
         "tag:yaml.org,2002:python/object/apply:", _apply_constructor)
+    ConfigLoader.add_multi_constructor(
+        "tag:yaml.org,2002:python/object:", _object_constructor)
     return ConfigLoader

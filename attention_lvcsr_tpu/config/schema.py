@@ -37,6 +37,44 @@ _SCALARS = {
 DEFAULT_SCHEMA_PATH = os.path.join(os.path.dirname(__file__), "schema.yaml")
 
 
+def coerce_config(config: Any, schema: Optional[dict] = None,
+                  schema_path: Optional[str] = None):
+    """Coerce archival-YAML scalar quirks in place, guided by the schema:
+    numeric strings where a number is expected (YAML 1.1 reads ``1e-8``
+    as a string — wsj_prior_conv_adadelta.yaml), and empty strings where
+    an int/float is expected (``sort_k_batches: ''`` means "disabled",
+    nips_baseline.yaml; the reference schema types it as str for the
+    same reason)."""
+    if schema is None:
+        with open(schema_path or DEFAULT_SCHEMA_PATH) as f:
+            schema = yaml.safe_load(f)
+    kind = schema.get("type", "map" if "map" in schema else "any")
+    if kind == "map" and isinstance(config, dict):
+        children = schema.get("map", {})
+        wildcard = children.get("*")
+        for key, value in config.items():
+            child = children.get(key, wildcard)
+            if isinstance(value, str) and isinstance(child, dict) \
+                    and child.get("type") in ("int", "float", "number"):
+                if not value.strip():
+                    config[key] = None
+                else:
+                    try:
+                        num = float(value)
+                        config[key] = (int(num)
+                                       if child["type"] == "int" else num)
+                    except ValueError:
+                        pass  # validation will report it
+            elif isinstance(value, (dict, list)) and child:
+                coerce_config(value, child)
+    elif kind == "seq" and isinstance(config, list):
+        elem = schema.get("element", {"type": "any"})
+        for item in config:
+            if isinstance(item, (dict, list)):
+                coerce_config(item, elem)
+    return config
+
+
 def _check(node: Any, schema: dict, path: str, errors: List[str]):
     kind = schema.get("type", "map" if "map" in schema else "any")
     if kind == "any":

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 from numpy.testing import assert_allclose
 
-sys.path.insert(0, "tools")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 from attention_lvcsr_tpu.data.features import (add_deltas, delta_coeffs,
                                                extract_features, fbank,
@@ -109,3 +110,53 @@ def test_kaldi2hdf_roundtrip(tmp_path):
     assert ds.eos_label is not None
     assert set(ds.decode(lab)) <= {"a", "b", "<spc>"}
     assert ds.pretty_print(lab) == "ab a"
+
+
+def test_dataset_surgery_and_text_tools(tmp_path, capsys):
+    """read-symbols / read-text / add-label (reference kaldi2fuel
+    read_symbols / read_raw_text, exp/wsj/add_bol.py) plus
+    decoded_chars_to_words (bin/decoded_chars_to_words.py)."""
+    import h5py
+    import kaldi2hdf
+
+    texts = tmp_path / "text"
+    texts.write_text("utt0 ab a\nutt1 b ab\n")
+    h5_path = str(tmp_path / "data.h5")
+    kaldi2hdf.main(["add-text", h5_path, str(texts)])
+    # read-symbols dumps the value_map
+    syms = tmp_path / "chars.txt"
+    kaldi2hdf.main(["read-symbols", h5_path, str(syms)])
+    table = dict(line.split() for line in syms.read_text().splitlines())
+    assert {"a", "b", "<spc>", "<eol>"} <= set(table)
+    # read-text reconstructs the transcripts
+    out = tmp_path / "raw.txt"
+    kaldi2hdf.main(["read-text", h5_path, str(out)])
+    assert out.read_text().splitlines() == ["utt0 ab a", "utt1 b ab"]
+    # add-label appends a fresh symbol with the next free id
+    kaldi2hdf.main(["add-label", h5_path, "<bol>"])
+    with h5py.File(h5_path, "r") as h5:
+        vm = h5["labels"].attrs["value_map"]
+        got = {k.decode(): int(v) for k, v in zip(vm["key"], vm["val"])}
+    assert got["<bol>"] == max(v for k, v in got.items()
+                               if k != "<bol>") + 1
+    with pytest.raises(SystemExit):
+        kaldi2hdf.main(["add-label", h5_path, "<bol>"])
+
+    # decoded_chars_to_words maps spelled-out decodes through a lexicon
+    import decoded_chars_to_words
+    lex = tmp_path / "lexicon.txt"
+    lex.write_text("ALPHA a b <spc>\nBETA b a\n")
+    dec = tmp_path / "decoded.txt"
+    dec.write_text("utt0 a b <spc> b a\n")
+    out2 = tmp_path / "words.txt"
+    decoded_chars_to_words.main([str(lex), str(dec), str(out2)])
+    assert out2.read_text() == "utt0 ALPHA BETA\n"
+
+
+def test_print_config_tool(capsys):
+    import print_config
+    cfg = os.path.join(ROOT, "exp", "wsj", "configs", "wsj_paper.yaml")
+    print_config.main([cfg, "{net[dim_dec]}"])
+    assert capsys.readouterr().out.strip() == "250"
+    print_config.main([cfg, "{net[dim_dec]}", "net.dim_dec", "300"])
+    assert capsys.readouterr().out.strip() == "300"

@@ -71,3 +71,29 @@ def test_optimizer_from_reference_training_section(monkeypatch):
     updates, _ = opt.update({"k": {"kernel": jnp.ones((4, 4))}}, state,
                             params)
     assert np.isfinite(np.asarray(updates["k"]["kernel"])).all()
+
+
+def test_every_reference_config_parses_and_validates(monkeypatch):
+    """ALL the reference's shipped experiment configs (the full
+    exp/wsj + exp/timit libraries, 50 YAMLs incl. the archival jan/bhd
+    series with python/object tags, string-typed numbers, and stale
+    keys) load through our parent-chain loader, coerce, and
+    schema-validate."""
+    import glob
+
+    from attention_lvcsr_tpu.config import read_config
+    from attention_lvcsr_tpu.config.schema import (coerce_config,
+                                                   validate_config)
+    monkeypatch.setenv("LVSR", "/root/reference")
+    paths = sorted(glob.glob("/root/reference/exp/*/configs/*.yaml"))
+    assert len(paths) >= 50
+    for path in paths:
+        with open(path) as f:
+            config = read_config(f)
+        coerce_config(config)
+        validate_config(config)
+    # a coerced archival quirk: string-typed scientific notation
+    with open("/root/reference/exp/wsj/configs/"
+              "wsj_prior_conv_adadelta.yaml") as f:
+        config = coerce_config(read_config(f))
+    assert config["training"]["epsilon"] == 1e-8

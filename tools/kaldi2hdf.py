@@ -166,6 +166,65 @@ def cmd_add_text(args):
     print(f"added {len(items)} transcripts; alphabet size {len(char_map)}")
 
 
+def cmd_read_symbols(args):
+    """Dump a source's value_map as a ``symbol id`` table (reference
+    kaldi2fuel.py read_symbols — feeds net-chars.txt to the LM-graph
+    recipes)."""
+    with h5py.File(args.h5, "r") as h5:
+        vm = h5[args.source].attrs["value_map"]
+        lines = [f"{k.decode() if isinstance(k, bytes) else k} {v}"
+                 for k, v in zip(vm["key"], vm["val"])]
+    text = "\n".join(lines) + "\n"
+    if args.out == "-":
+        print(text, end="")
+    else:
+        with open(args.out, "w") as f:
+            f.write(text)
+
+
+def cmd_read_text(args):
+    """Decode a label source back to ``uttid TEXT`` lines (reference
+    kaldi2fuel.py read_raw_text — feeds create_graph_form_text)."""
+    with h5py.File(args.h5, "r") as h5:
+        vm = h5[args.source].attrs["value_map"]
+        inv = {int(v): (k.decode() if isinstance(k, bytes) else k)
+               for k, v in zip(vm["key"], vm["val"])}
+        uttids = [u.decode() if isinstance(u, bytes) else u
+                  for u in h5["uttids"][...]]
+        rows = list(range(len(uttids)))
+        if args.subset:
+            rows = [int(i) for i in h5[f"{args.subset}_indices"][...]]
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        try:
+            for i in rows:
+                syms = [inv[int(c)] for c in h5[args.source][i]]
+                text = "".join(" " if s == "<spc>" else s for s in syms
+                               if not (s.startswith("<") and s != "<spc>"))
+                out.write(f"{uttids[i]} {text.strip()}\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
+
+
+def cmd_add_label(args):
+    """Append a symbol to an existing source's value_map without
+    rebuilding the dataset (reference exp/wsj/add_bol.py, which patches
+    ``<bol>`` into wsj.h5)."""
+    with h5py.File(args.h5, "a") as h5:
+        vm = h5[args.source].attrs["value_map"]
+        keys = [k.decode() if isinstance(k, bytes) else k
+                for k in vm["key"]]
+        if args.symbol in keys:
+            raise SystemExit(f"{args.symbol!r} already in value_map")
+        code = args.id if args.id is not None else int(vm["val"].max()) + 1
+        klen = max(max(len(k) for k in keys), len(args.symbol))
+        arr = np.array(list(zip(keys, vm["val"])) +
+                       [(args.symbol, code)],
+                       dtype=[("key", f"S{klen}"), ("val", "int32")])
+        h5[args.source].attrs["value_map"] = arr
+    print(f"added {args.symbol} -> {code} to {args.source} value_map")
+
+
 def cmd_split(args):
     with h5py.File(args.h5, "a") as h5:
         stored = [s if isinstance(s, str) else s.decode()
@@ -212,6 +271,25 @@ def main(argv=None):
                         "character-level (the reference's add_text "
                         "--applymap mode)")
     a.set_defaults(fn=cmd_add_text)
+
+    a = sub.add_parser("add-label", help="append a symbol to a source's "
+                       "value_map (add_bol.py role)")
+    a.add_argument("h5"); a.add_argument("symbol")
+    a.add_argument("--source", default="labels")
+    a.add_argument("--id", type=int, default=None)
+    a.set_defaults(fn=cmd_add_label)
+
+    a = sub.add_parser("read-symbols", help="dump a value_map as a "
+                       "symbol table")
+    a.add_argument("h5"); a.add_argument("out", default="-", nargs="?")
+    a.add_argument("--source", default="labels")
+    a.set_defaults(fn=cmd_read_symbols)
+
+    a = sub.add_parser("read-text", help="decode labels to raw text")
+    a.add_argument("h5"); a.add_argument("out", default="-", nargs="?")
+    a.add_argument("--source", default="labels")
+    a.add_argument("--subset", default=None)
+    a.set_defaults(fn=cmd_read_text)
 
     a = sub.add_parser("split", help="write the split table")
     a.add_argument("h5")
