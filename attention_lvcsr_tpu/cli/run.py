@@ -86,6 +86,15 @@ def build_parser():
     sd = subparsers.add_parser("show_data",
                                help="print a batch of training data")
     add_common(sd, with_params=False)
+
+    sv = subparsers.add_parser("serve", help="HTTP decode endpoint with "
+                               "micro-batching")
+    add_common(sv)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--beam-size", type=int, default=None)
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--batch-wait-ms", type=float, default=20.0)
     return parser
 
 
@@ -126,6 +135,11 @@ def main(argv=None):
         return driver.sample(config, args.params, part=args.part)
     if args.mode == "show_data":
         return driver.show_data(config)
+    if args.mode == "serve":
+        from attention_lvcsr_tpu.serve import serve
+        return serve(config, args.params, host=args.host, port=args.port,
+                     beam_size=args.beam_size, max_batch=args.max_batch,
+                     batch_wait_ms=args.batch_wait_ms)
     raise ValueError(args.mode)
 
 

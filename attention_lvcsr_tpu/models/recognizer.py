@@ -384,6 +384,7 @@ class SpeechRecognizer:
         self.net = RecognizerNet(**self.net_config)
         self.eos_label = self.net_config["eos_label"]
         self.num_phonemes = self.net_config["num_phonemes"]
+        self.character_map = self.net_config.get("character_map")
         self.data_prepend_eos = self.net_config.get("data_prepend_eos", True)
         self.max_decoded_length_scale = self.net_config.get(
             "max_decoded_length_scale", 1.0)

@@ -134,7 +134,26 @@ class BeamSearch:
     def search(self, params, inputs, inputs_mask, eol_symbol, max_length,
                ignore_first_eol=False, as_arrays=False, char_discount=0.0,
                round_to_inf=1e9, stop_on="patience",
-               validate_solution_function=None):
+               validate_solution_function=None, mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis — the
+        utterance batch is sharded across it and XLA's SPMD partitioner
+        runs the decode data-parallel over the mesh (serving-scale batch
+        decode; each utterance's compute is unchanged, so results are
+        bit-identical to single-device).  The batch must divide the
+        'data' axis size.  Params keep the shardings they carry
+        (replicated if unsharded host arrays)."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            batch_sh = NamedSharding(mesh, P("data"))
+            inputs = jax.device_put(jnp.asarray(inputs), batch_sh)
+            inputs_mask = jax.device_put(jnp.asarray(inputs_mask),
+                                         batch_sh)
+            if not any(isinstance(leaf, jax.Array) and len(
+                    leaf.sharding.device_set) > 1
+                    for leaf in jax.tree.leaves(params)):
+                params = jax.device_put(
+                    params, NamedSharding(mesh, P()))
         constraint = post_filter = None
         if isinstance(validate_solution_function, DecodeConstraint):
             constraint = validate_solution_function
@@ -144,8 +163,10 @@ class BeamSearch:
             raise TypeError(
                 "validate_solution_function must be a DecodeConstraint, "
                 "a callable, or None")
+        # the whole-loop kernel is a single-device program; sharded decode
+        # uses the XLA path, which the SPMD partitioner splits over 'data'
         loop_mode = (self._loop_kernel_mode()
-                     if constraint is None else None)
+                     if constraint is None and mesh is None else None)
         if loop_mode is not None:
             key = ("loop", inputs.shape, stop_on, bool(ignore_first_eol),
                    int(max_length), float(char_discount),

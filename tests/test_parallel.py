@@ -57,3 +57,43 @@ def test_data_parallel_grad_matches_single_device():
         g_sharded = jax.jit(grad)(w_sharded, x_sharded)
     np.testing.assert_allclose(np.asarray(g_single),
                                np.asarray(g_sharded), rtol=1e-5)
+
+
+def test_sharded_beam_search_matches_single_device():
+    """Batch decode sharded over the mesh 'data' axis returns exactly
+    the single-device hypotheses (each utterance's compute is
+    unchanged; XLA only splits the batch)."""
+    from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+
+    cfg = dict(
+        input_dims={"recordings": 6}, input_num_chars={}, eos_label=4,
+        num_phonemes=5, dim_dec=8, dims_bidir=[7], enc_transition="gru",
+        dec_transition="gru", attention_type="content_and_conv",
+        conv_n=1, use_states_for_readout=False,
+        criterion={"name": "log_likelihood"},
+        bottom={"bottom_class": "speech"}, subsample=[1],
+        post_merge_dims=[10], max_decoded_length_scale=1.0,
+        data_prepend_eos=False, use_pallas="never")
+    rec = SpeechRecognizer(cfg, init_config={
+        "/recognizer": {"weights_init": ["isotropic_gaussian", 0.5],
+                        "biases_init": ["constant", 0.0],
+                        "rec_weights_init": ["orthogonal"]}}, seed=7)
+    p = rec.params["params"]["generator"]["readout"]["post_merge_0"]
+    p["bias"] = p["bias"].at[4].add(1.5)
+    rec.init_beam_search(3)
+
+    rng = np.random.RandomState(3)
+    inputs = rng.randn(8, 16, 6).astype("float32")
+    mask = (np.arange(16)[None] <
+            rng.randint(10, 17, size=(8, 1))).astype("f")
+
+    single = rec.beam_search(inputs, mask, as_arrays=True)
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = rec.beam_search(inputs, mask, as_arrays=True, mesh=mesh)
+
+    np.testing.assert_array_equal(sharded["done_valid"],
+                                  single["done_valid"])
+    np.testing.assert_array_equal(sharded["done_out"],
+                                  single["done_out"])
+    np.testing.assert_allclose(sharded["done_cost"], single["done_cost"],
+                               rtol=1e-5, atol=1e-6)
