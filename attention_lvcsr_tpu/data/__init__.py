@@ -39,7 +39,7 @@ class Data:
                  add_eos=True, eos_label=None, add_bos=0, prepend_eos=False,
                  default_sources=None, dataset_class=None,
                  pad_multiple=1, pad_batches=False, prefetch=True,
-                 data_dir=None):
+                 data_dir=None, uttid_source=None):
         if prepend_eos:
             raise ValueError("prepend_eos is not supported (reference "
                              "asserts the same, lvsr/datasets/__init__.py:166)")
@@ -50,6 +50,10 @@ class Data:
         self.sources_map = dict(sources_map or
                                 {"recordings": "recordings",
                                  "labels": "labels"})
+        if uttid_source:
+            # archival key (wsj_jan_* configs): alias for the uttids
+            # source name
+            self.sources_map.setdefault("uttids", uttid_source)
         self.default_sources = list(default_sources or self.sources_map)
         self.batch_size = batch_size
         self.validation_batch_size = validation_batch_size or batch_size

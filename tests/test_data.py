@@ -128,3 +128,14 @@ def test_pad_batch_static_batch_dim():
     out = pad_batch(group, ["x"], pad_multiple=4, pad_batch_to=4)
     assert out["x"].shape == (4, 8, 2)
     assert out["x_mask"].sum() == 8.0
+
+
+def test_uttid_source_archival_alias():
+    """data.uttid_source (old reference configs) aliases the uttids
+    source without overriding an explicit sources_map entry."""
+    from attention_lvcsr_tpu.data import Data
+    d = Data("nonexistent.h5", uttid_source="utterance_ids")
+    assert d.sources_map["uttids"] == "utterance_ids"
+    d2 = Data("nonexistent.h5", sources_map={"uttids": "ids"},
+              uttid_source="utterance_ids")
+    assert d2.sources_map["uttids"] == "ids"
