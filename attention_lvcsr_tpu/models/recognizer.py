@@ -229,18 +229,21 @@ class RecognizerNet(nn.Module):
         return ctx
 
     def decode_loop(self, inputs, inputs_mask):
-        """Everything the whole-loop decode kernel consumes
-        (ops/pallas/beam_loop.py): encoder outputs + preprocessed
-        energies input + dense decoder tables."""
+        """Everything shape-dependent the whole-loop decode kernel
+        consumes (ops/pallas/beam_loop.py): encoder outputs +
+        preprocessed energies input.  The (params-only) dense weight
+        tables come from :meth:`decode_loop_tables` so the caller can
+        cache them across search calls."""
         encoded, encoded_mask, _ = self.encode(inputs, inputs_mask,
                                                fast=True)
         return {
             "pre": self.generator.attention.preprocess(encoded),
             "attended": encoded,
             "attended_mask": encoded_mask,
-            "tables": self.generator.loop_decode_tables(
-                encoded.shape[1], encoded.dtype),
         }
+
+    def decode_loop_tables(self, length, dtype):
+        return self.generator.loop_decode_tables(length, dtype)
 
     def decode_init(self, batch_size, contexts):
         return self.generator.initial_states(batch_size,

@@ -2,13 +2,20 @@
 
 Motivation (measured on the real chip, see BENCH history): the XLA
 ``lax.while_loop`` decode costs ~2 ms/step in fixed per-fusion dispatch
-overhead plus ~75 us/utterance/step of poorly-overlapped small ops — for
-the WSJ flagship model that is ~7 ms/step at batch 64 while the actual
-math is a few microseconds per utterance.  Collapsing the whole loop
-(score -> top-k -> gather -> GRU advance -> EOS retirement -> done-set
-merge -> stopping criteria) into ONE kernel with every piece of state
-VMEM-resident removes all of it: the decode becomes encoder + one
-``pallas_call``.
+overhead plus poorly-overlapped small ops — for the WSJ flagship model
+that is ~7 ms/step at batch 64 while the actual math is a few
+microseconds per utterance.  Collapsing the whole loop (score -> top-k
+-> gather -> GRU advance -> EOS retirement -> done-set merge -> stopping
+criteria) into ONE kernel with every piece of state VMEM-resident
+removes all of it: the decode becomes encoder + one ``pallas_call``.
+
+The kernel is **utterance-grouped**: each grid step decodes G utterances
+together (default 16).  Grid steps are sequential on a TPU core, so
+per-utterance grids serialize the many small VPU ops (the unrolled
+top-k rounds) 64x at batch 64; grouping turns the thin per-utterance
+matmuls into (G*K)-row MXU matmuls and makes every top-k/merge round
+process G utterances in the same vector op.  Per-utterance gathers
+become ONE block-diagonal one-hot matmul over the grouped rows.
 
 Scope: the flagship configuration (conv location attention with one
 filter, softmax energy normalizer, single-layer GRU decoder, embedding
@@ -21,14 +28,15 @@ else and is the semantic reference — this kernel replicates it exactly
 
 Reference pedigree of the semantics: ``blocks/search.py:244-399``.
 
-Per-utterance grid; all compute in f32 regardless of the HBM dtype.
+Per-group grid; all compute in f32 regardless of the HBM dtype.
 Dynamic-structure tricks (no dynamic shapes inside kernels):
 
-* top-k over the (K, V) candidate grid = K unrolled rounds of
-  (min, lowest-flat-index argmin, mask-out) — identical tie order to
-  ``lax.top_k`` of the negated costs;
-* hypothesis gathers become one-hot permutation matmuls (MXU);
-* the done-set merge is the same selection over the concatenated
+* top-k over the (G, K*V) candidate grid = K unrolled rounds of
+  (row-min, lowest-flat-index argmin, mask-out) — identical tie order
+  to ``lax.top_k`` of the negated costs;
+* hypothesis gathers are block-diagonal one-hot permutation matmuls
+  (MXU), built from row/column iota comparisons;
+* the done-set merge is the same selection over the per-utterance
   (2K,) adjusted costs, existing entries first (ties keep the old one,
   like the XLA path);
 * the 2n+1-tap convolution over alignment weights is a banded-Toeplitz
@@ -58,20 +66,22 @@ def _kernel(pre_ref, att_ref, mask_ref,
             done_out_ref, done_meta_ref, steps_ref,
             h_sc, w_sc, aout_sc, acost_sc, dout_sc, dcost_sc, dadj_sc,
             dlen_sc,
-            *, beam, max_len, eol, stop_on, ignore_first_eol,
+            *, beam, group, max_len, eol, stop_on, ignore_first_eol,
             char_discount, round_to_inf, prior, before, after,
             initial_begin, initial_end, min_speed, max_speed):
     f32 = jnp.float32
     K = beam
-    L = w_sc.shape[-1]
+    G = group
+    R = G * K                                  # grouped hypothesis rows
+    L = pre_ref.shape[1]
     M = st_ref.shape[-1]
     S = h_sc.shape[-1]
     V = post_ref.shape[-1]
     Lout = aout_sc.shape[-1]
 
-    pre = pre_ref[0].astype(f32)              # (L, M)
-    attended = att_ref[0].astype(f32)         # (L, D)
-    att_mask = mask_ref[0].astype(f32)        # (1, L)
+    pre = pre_ref[:].astype(f32)              # (G, L, M)
+    attended = att_ref[:].astype(f32)         # (G, L, D)
+    att_mask = mask_ref[:, 0, :].astype(f32)  # (G, L)
     toep = toep_ref[:].astype(f32)
     tri = tri_ref[:].astype(f32)
     st = st_ref[:].astype(f32)
@@ -91,40 +101,58 @@ def _kernel(pre_ref, att_ref, mask_ref,
     wsg = wsg_ref[:].astype(f32)
     wss = wss_ref[:].astype(f32)
 
-    pos_row = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1).astype(f32)
-    pos_k = jax.lax.broadcasted_iota(jnp.int32, (K, L), 1).astype(f32)
-    row_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-    iota_k_row = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    iota_2k_row = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * K), 1)
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (K, Lout), 1)
-    # flat candidate index k*V + v, the XLA path's reshape order
-    flat_iota = (jax.lax.broadcasted_iota(jnp.int32, (K, V), 0) * V
-                 + jax.lax.broadcasted_iota(jnp.int32, (K, V), 1))
-
+    pos_g = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1).astype(f32)
+    pos_r = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1).astype(f32)
+    slot_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % K
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (R, Lout), 1)
+    # flat candidate index k*V + v of each (row, symbol) within its
+    # utterance — the XLA path's reshape order (lowest flat index wins
+    # ties); laid out row-space so no sublane->lane reshape is needed
+    flat_rv = (slot_r * V
+               + jax.lax.broadcasted_iota(jnp.int32, (R, V), 1))
+    iota_2k = jax.lax.broadcasted_iota(jnp.int32, (G, 2 * K), 1)
+    # block-diagonal helpers over grouped rows
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    rows_2r = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * R), 0)
+    cols_2r = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * R), 1)
     def dot(a, b):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32)
 
+    def rows_to_groups(x):                     # (R, 1) -> (G, K)
+        return x.reshape(G, K)
+
+    def per_group(x):                          # (G, 1) -> (R, 1)
+        # EXACT broadcast (single-lane reshapes are layout-free in
+        # Mosaic).  A one-hot matmul would NOT be exact — Mosaic f32
+        # matmuls run in bf16 passes, and a last-ulp perturbation here
+        # breaks the equality-based argmin selections below.
+        return jnp.broadcast_to(x.reshape(G, 1, 1),
+                                (G, K, 1)).reshape(R, 1)
+
     # ---- init ------------------------------------------------------------
-    row_dead = jnp.sum(att_mask) == 0.0
-    h_sc[:] = jnp.broadcast_to(h0_ref[:].astype(f32), (K, S))
-    w_sc[:] = (pos_k == 0.0).astype(f32)
-    aout_sc[:] = jnp.zeros((K, Lout), f32)
-    dout_sc[:] = jnp.zeros((K, Lout), f32)
-    acost_sc[:] = jnp.where((row_k == 0) & (~row_dead), 0.0, INF)
-    dcost_sc[:] = jnp.full((K, 1), INF, f32)
-    dadj_sc[:] = jnp.full((K, 1), INF, f32)
-    dlen_sc[:] = jnp.zeros((K, 1), f32)
+    rows_dead = (jnp.sum(att_mask, axis=1, keepdims=True) == 0.0)  # (G,1)
+    dead_r = per_group(rows_dead.astype(f32)) > 0.5                # (R,1)
+    h_sc[:] = jnp.broadcast_to(h0_ref[:].astype(f32), (R, S))
+    w_sc[:] = (pos_r == 0.0).astype(f32)
+    aout_sc[:] = jnp.zeros((R, Lout), f32)
+    dout_sc[:] = jnp.zeros((R, Lout), f32)
+    acost_sc[:] = jnp.where((slot_r == 0) & ~dead_r, 0.0, INF)
+    dcost_sc[:] = jnp.full((R, 1), INF, f32)
+    dadj_sc[:] = jnp.full((R, 1), INF, f32)
+    dlen_sc[:] = jnp.zeros((R, 1), f32)
 
     def body(i, carry):
-        patience, min_cost, stopped, steps = carry
-        dadj = dadj_sc[:]                                   # (K, 1)
-        valid = dadj < INF / 2
-        has_done = jnp.max(valid.astype(f32)) > 0.0
-        best_adj = jnp.min(dadj)
-        alive = acost_sc[:]                                  # (K, 1)
-        alive_min = jnp.min(alive)
+        patience, min_cost, stopped, steps = carry      # (G,1) each
+        dadj_g = rows_to_groups(dadj_sc[:])             # (G, K)
+        valid = dadj_g < INF / 2
+        has_done = jnp.max(valid.astype(f32), axis=1,
+                           keepdims=True) > 0.0         # (G,1)
+        best_adj = jnp.min(dadj_g, axis=1, keepdims=True)
+        alive_g = rows_to_groups(acost_sc[:])           # (G, K)
+        alive_min = jnp.min(alive_g, axis=1, keepdims=True)
         empty = alive_min >= INF
 
         # ---- stopping bookkeeping (search/beam.py body top) -------------
@@ -136,153 +164,214 @@ def _kernel(pre_ref, att_ref, mask_ref,
                 jnp.where(improved, PATIENCE, patience - 1), patience)
             newly = patience <= 0
         else:  # optimistic_future_cost
-            kth_adj = jnp.max(jnp.where(valid, dadj, -INF))
+            kth_adj = jnp.max(jnp.where(valid, dadj_g, -INF), axis=1,
+                              keepdims=True)
             optimistic = alive_min - char_discount * float(max_len)
-            newly = jnp.all(valid) & (kth_adj < optimistic)
-        stopped = stopped | newly | empty
-        steps = jnp.where(stopped, steps, i + 1)
+            newly = (jnp.min(valid.astype(f32), axis=1, keepdims=True)
+                     > 0.0) & (kth_adj < optimistic)
+        # ``stopped`` rides the fori carry as f32 0/1 — i1 vectors in
+        # scf.for carries fail Mosaic legalization
+        stopped = jnp.maximum(stopped,
+                              jnp.maximum(newly.astype(f32),
+                                          empty.astype(f32)))  # (G, 1)
+        steps = jnp.where(stopped > 0.5, steps, i + 1)
+        live = per_group(stopped) < 0.5                 # (R, 1) bool
 
-        @pl.when(jnp.logical_not(stopped))
-        def _():
-            w = w_sc[:]                                      # (K, L)
-            h = h_sc[:]                                      # (K, S)
+        w = w_sc[:]                                     # (R, L)
+        h = h_sc[:]                                     # (R, S)
 
-            # ---- window prior ------------------------------------------
-            if prior == "expanding":
-                step0 = jnp.asarray(i, f32)
-                begin = jnp.maximum(0.0, jnp.minimum(
-                    float(L - 1), initial_begin + step0 * min_speed))
-                end = jnp.maximum(0.0, jnp.minimum(
-                    float(L), initial_end + step0 * max_speed))
-                begin = jnp.floor(begin)
-                end = jnp.ceil(end)
-                global_mask = ((pos_row >= begin)
-                               & (pos_row < end)).astype(f32)
-                combined = global_mask * att_mask
-                combined = jnp.broadcast_to(combined, (K, L))
-            else:
-                if prior == "window_around_mean":
-                    expected = (w * pos_k).sum(axis=1, keepdims=True)
-                else:  # window_around_median
-                    cs = dot(w, tri)                         # (K, L)
-                    below = (cs < 0.5).astype(f32).sum(axis=1,
-                                                       keepdims=True)
-                    expected = jnp.maximum(0.0, below - 1.0)
-                begins = jnp.floor(expected - before)        # (K, 1)
-                ends = jnp.ceil(expected + after)
-                gb = jnp.floor(jnp.maximum(0.0, begins.min()))
-                ge = jnp.ceil(jnp.minimum(float(L), ends.max()))
-                global_mask = ((pos_row >= gb) & (pos_row < ge)).astype(f32)
-                additional = ((pos_k > begins) & (pos_k < ends)).astype(f32)
-                combined = global_mask * additional * att_mask
+        # ---- window prior ------------------------------------------
+        # ``gmask`` (the energy cut + conv input mask) is window-only;
+        # the attention mask enters ``combined`` (the softmax support)
+        # only — exactly like the reference/XLA path.
+        att_rows = jnp.broadcast_to(att_mask[:, None, :],
+                                    (G, K, L)).reshape(R, L)
 
-            # ---- energies (conv via Toeplitz matmul) ---------------------
-            conv = dot(w * global_mask, toep)                # (K, L)
-            sp = dot(h, st)                                  # (K, M)
-            match = jnp.tanh(pre[None, :, :] + sp[:, None, :]
-                             + conv[:, :, None] * handler[None, :, :])
-            energies = dot(match.reshape(K * L, M), v).reshape(K, L)
+        def broadcast_rows(x_g):                        # (G, L) -> (R, L)
+            return jnp.broadcast_to(x_g[:, None, :],
+                                    (G, K, L)).reshape(R, L)
 
-            # ---- masked softmax ------------------------------------------
-            masked = jnp.where(global_mask > 0, energies, NEG)
-            mx = jnp.max(masked, axis=1, keepdims=True)
-            mx = jnp.where(mx > NEG / 2, mx, 0.0)
-            unnorm = jnp.exp(energies - mx) * combined
-            denom = unnorm.sum(axis=1, keepdims=True) + \
-                (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
-            wnew = unnorm / denom                            # (K, L)
+        if prior == "expanding":
+            step0 = jnp.asarray(i, f32)
+            begin = jnp.maximum(0.0, jnp.minimum(
+                float(L - 1), initial_begin + step0 * min_speed))
+            end = jnp.maximum(0.0, jnp.minimum(
+                float(L), initial_end + step0 * max_speed))
+            begin = jnp.floor(begin)
+            end = jnp.ceil(end)
+            gmask = broadcast_rows(
+                ((pos_g >= begin) & (pos_g < end)).astype(f32))
+            combined = gmask * att_rows
+        else:
+            if prior == "window_around_mean":
+                expected = (w * pos_r).sum(axis=1, keepdims=True)
+            else:  # window_around_median
+                cs = dot(w, tri)                        # (R, L)
+                below = (cs < 0.5).astype(f32).sum(axis=1, keepdims=True)
+                expected = jnp.maximum(0.0, below - 1.0)
+            begins = jnp.floor(expected - before)       # (R, 1)
+            ends = jnp.ceil(expected + after)
+            gb = jnp.floor(jnp.maximum(
+                0.0, jnp.min(rows_to_groups(begins.reshape(R, 1)),
+                             axis=1, keepdims=True)))   # (G, 1)
+            ge = jnp.ceil(jnp.minimum(
+                float(L), jnp.max(rows_to_groups(ends.reshape(R, 1)),
+                                  axis=1, keepdims=True)))
+            gmask = broadcast_rows(
+                ((pos_g >= gb) & (pos_g < ge)).astype(f32))
+            additional = ((pos_r > begins) & (pos_r < ends)).astype(f32)
+            combined = gmask * additional * att_rows
 
-            # ---- readout --------------------------------------------------
-            wa = dot(wnew, attended)                         # (K, D)
-            act = jnp.tanh(dot(wa, merge_k) + merge_b)
-            logits = dot(act, post_k) + post_b               # (K, V)
-            lmx = jnp.max(logits, axis=1, keepdims=True)
-            lse = lmx + jnp.log(
-                jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
-            costs = lse - logits                             # (K, V)
+        # ---- energies (conv via Toeplitz matmul) ---------------------
+        conv = dot(w * gmask, toep)                     # (R, L)
+        sp = dot(h, st)                                 # (R, M)
+        match = jnp.tanh(
+            pre.reshape(G, 1, L, M)
+            + sp.reshape(G, K, 1, M)
+            + conv.reshape(G, K, L, 1) * handler.reshape(1, 1, 1, M))
+        energies = dot(match.reshape(R * L, M), v).reshape(R, L)
 
-            # ---- top-k over K*V candidates -------------------------------
-            work = alive + costs                             # (K, V)
-            perm_rows, sym_vals, cost_vals = [], [], []
-            for _ in range(K):
-                m = jnp.min(work)
-                idx = jnp.min(jnp.where(work == m, flat_iota, K * V))
-                perm_rows.append((iota_k_row == idx // V).astype(f32))
-                sym_vals.append(jnp.full((1, 1), idx % V, jnp.int32))
-                cost_vals.append(jnp.full((1, 1), m, f32))
-                work = jnp.where(flat_iota == idx, BIG, work)
-            perm = jnp.concatenate(perm_rows, axis=0)        # (K, K)
-            symbols = jnp.concatenate(sym_vals, axis=0).astype(f32)
-            chosen = jnp.concatenate(cost_vals, axis=0)      # (K, 1)
+        # ---- masked softmax ------------------------------------------
+        masked = jnp.where(gmask > 0, energies, NEG)
+        mx = jnp.max(masked, axis=1, keepdims=True)
+        mx = jnp.where(mx > NEG / 2, mx, 0.0)
+        unnorm = jnp.exp(energies - mx) * combined
+        denom = unnorm.sum(axis=1, keepdims=True) + \
+            (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
+        wnew = unnorm / denom                           # (R, L)
 
-            # ---- gather by source beam row --------------------------------
-            prev_costs = dot(perm, alive)                    # (K, 1)
-            h_src = dot(perm, h)
-            w_src = dot(perm, wnew)
-            wa_src = dot(perm, wa)
-            aout = dot(perm, aout_sc[:])                     # (K, Lout)
+        # ---- readout (weighted averages, batched per utterance) ------
+        # batched dot keeps each utterance's accumulation order
+        # identical to the ungrouped kernel (a block-diagonal matmul
+        # would sum over G*L terms and perturb last-ulp rounding)
+        wa = jax.lax.dot_general(
+            wnew.reshape(G, K, L), attended,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32).reshape(R, -1)  # (R, D)
+        act = jnp.tanh(dot(wa, merge_k) + merge_b)
+        logits = dot(act, post_k) + post_b              # (R, V)
+        lmx = jnp.max(logits, axis=1, keepdims=True)
+        lse = lmx + jnp.log(
+            jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
+        costs = lse - logits                            # (R, V)
 
-            # ---- record symbol --------------------------------------------
-            aout_col = jnp.where(out_cols == i, symbols, aout)
-            aout_sc[:] = aout_col
-            alive_len = jnp.asarray(i + 1, f32)
-            step_costs = chosen - prev_costs
+        # ---- top-k over each utterance's K*V candidates --------------
+        # Candidates stay in row space (R, V); per-utterance reductions
+        # go lane-min -> (R,1) -> (G,K) reshape -> lane-min -> (G,1),
+        # and come back to rows through the ind_rg matmul.  K unrolled
+        # rounds, each selecting one winner for ALL G utterances.
+        alive = acost_sc[:]                             # (R, 1)
+        work = alive + costs                            # (R, V)
+        src = jnp.zeros((R, 1), jnp.int32)
+        symf = jnp.zeros((R, 1), f32)
+        chosen = jnp.zeros((R, 1), f32)
+        for slot in range(K):
+            m = jnp.min(rows_to_groups(
+                jnp.min(work, axis=1, keepdims=True)),
+                axis=1, keepdims=True)                  # (G, 1)
+            m_r = per_group(m)                          # (R, 1)
+            cand = jnp.where(work == m_r, flat_rv, K * V)
+            idx = jnp.min(rows_to_groups(
+                jnp.min(cand, axis=1, keepdims=True)),
+                axis=1, keepdims=True)                  # (G, 1)
+            idx_r = per_group(idx.astype(f32)).astype(jnp.int32)
+            work = jnp.where(flat_rv == idx_r, BIG, work)
+            mine = slot_r == slot
+            src = jnp.where(mine, idx_r // V, src)
+            symf = jnp.where(mine, (idx_r % V).astype(f32), symf)
+            chosen = jnp.where(mine, m_r, chosen)
+        symbols = symf                                  # (R, 1) f32
 
-            # ---- GRU advance ----------------------------------------------
-            fb_onehot = (jax.lax.broadcasted_iota(
-                jnp.int32, (K, embed.shape[0]), 1).astype(f32)
-                == symbols).astype(f32)
-            fb = dot(fb_onehot, embed)                       # (K, F)
-            gate_in = dot(fb, fgate) + fgateb + dot(wa_src, dgate)
-            in_tot = dot(fb, fin) + finb + dot(wa_src, din)
-            gates = jax.nn.sigmoid(dot(h_src, wsg) + gate_in)
-            update = gates[:, :S]
-            reset = gates[:, S:]
-            cand = jnp.tanh(dot(h_src * reset, wss) + in_tot)
-            h_sc[:] = update * cand + (1.0 - update) * h_src
-            w_sc[:] = w_src
+        # ---- gather by source beam row (block-diag one-hot matmul) ---
+        src_flat = (rows_r // K) * K + src              # (R, R) bcast
+        perm = (cols_r == src_flat).astype(f32)         # (R, R)
+        prev_costs = dot(perm, alive)                   # (R, 1)
+        h_src = dot(perm, h)
+        w_src = dot(perm, wnew)
+        wa_src = dot(perm, wa)
+        aout = dot(perm, aout_sc[:])                    # (R, Lout)
 
-            # ---- EOS retirement -------------------------------------------
-            is_eos = symbols == float(eol)
-            if ignore_first_eol:
-                is_eos = is_eos & (i > 0)
-            finishing = (is_eos & (step_costs < round_to_inf)
-                         & (prev_costs < INF / 2))
-            adjusted = chosen - char_discount * (alive_len + 1.0)
-            new_adj = jnp.where(finishing, adjusted, INF)
+        # ---- record symbol -------------------------------------------
+        aout_col = jnp.where(out_cols == i, symbols, aout)
+        alive_len = jnp.asarray(i + 1, f32)
+        step_costs = chosen - prev_costs
 
-            # ---- done-set merge (2K -> K, existing entries win ties) ------
-            cand_adj = jnp.concatenate([dadj_sc[:], new_adj], axis=0)
-            cand_cost = jnp.concatenate([dcost_sc[:], chosen], axis=0)
-            cand_len = jnp.concatenate(
-                [dlen_sc[:], jnp.full((K, 1), alive_len, f32)], axis=0)
-            workd = cand_adj.reshape(1, 2 * K)
-            perm2_rows = []
-            for _ in range(K):
-                m = jnp.min(workd)
-                idx = jnp.min(jnp.where(workd == m, iota_2k_row, 2 * K))
-                perm2_rows.append((iota_2k_row == idx).astype(f32))
-                workd = jnp.where(iota_2k_row == idx, BIG, workd)
-            perm2 = jnp.concatenate(perm2_rows, axis=0)      # (K, 2K)
-            dadj_sc[:] = dot(perm2, cand_adj)
-            dcost_sc[:] = dot(perm2, cand_cost)
-            dlen_sc[:] = dot(perm2, cand_len)
-            cand_out = jnp.concatenate([dout_sc[:], aout_col], axis=0)
-            dout_sc[:] = dot(perm2, cand_out)
+        # ---- GRU advance ---------------------------------------------
+        fb_onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, (R, embed.shape[0]), 1).astype(f32)
+            == symbols).astype(f32)
+        fb = dot(fb_onehot, embed)                      # (R, F)
+        gate_in = dot(fb, fgate) + fgateb + dot(wa_src, dgate)
+        in_tot = dot(fb, fin) + finb + dot(wa_src, din)
+        gates = jax.nn.sigmoid(dot(h_src, wsg) + gate_in)
+        update = gates[:, :S]
+        reset = gates[:, S:]
+        cand = jnp.tanh(dot(h_src * reset, wss) + in_tot)
+        h_new = update * cand + (1.0 - update) * h_src
 
-            # finished rows leave the beam
-            acost_sc[:] = jnp.where(is_eos, INF, chosen)
+        # ---- EOS retirement ------------------------------------------
+        is_eos = symbols == float(eol)
+        if ignore_first_eol:
+            is_eos = is_eos & (i > 0)
+        finishing = (is_eos & (step_costs < round_to_inf)
+                     & (prev_costs < INF / 2) & live)
+        adjusted = chosen - char_discount * (alive_len + 1.0)
+        new_adj = jnp.where(finishing, adjusted, INF)
+
+        # ---- done-set merge (2K -> K per utterance, old entries win
+        # ties).  Candidate order: [existing K, new K] per utterance.
+        workd = jnp.concatenate(
+            [rows_to_groups(dadj_sc[:]),
+             rows_to_groups(new_adj)], axis=1)          # (G, 2K)
+        pick = jnp.zeros((R, 1), jnp.int32)
+        for slot in range(K):
+            m = jnp.min(workd, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(workd == m, iota_2k, 2 * K),
+                          axis=1, keepdims=True)        # (G,1)
+            workd = jnp.where(iota_2k == idx, BIG, workd)
+            idx_r = per_group(idx.astype(f32)).astype(jnp.int32)
+            pick = jnp.where(slot_r == slot, idx_r, pick)
+        # flat row in the stacked [done (R); alive (R)] candidate array
+        g_of_row = rows_2r // K
+        pick_flat = jnp.where(pick < K,
+                              g_of_row * K + pick,
+                              R + g_of_row * K + (pick - K))
+        perm2 = (cols_2r == pick_flat).astype(f32)      # (R, 2R)
+
+        def merge(done_col, new_col):
+            return dot(perm2, jnp.concatenate([done_col, new_col],
+                                              axis=0))
+
+        dadj_new = merge(dadj_sc[:], new_adj)
+        dcost_new = merge(dcost_sc[:], chosen)
+        dlen_new = merge(dlen_sc[:],
+                         jnp.full((R, 1), alive_len, f32))
+        dout_new = merge(dout_sc[:], aout_col)
+
+        # ---- commit state (stopped utterances keep everything) -------
+        h_sc[:] = jnp.where(live, h_new, h)
+        w_sc[:] = jnp.where(live, w_src, w)
+        aout_sc[:] = jnp.where(live, aout_col, aout_sc[:])
+        acost_sc[:] = jnp.where(live, jnp.where(is_eos, INF, chosen),
+                                acost_sc[:])
+        dadj_sc[:] = jnp.where(live, dadj_new, dadj_sc[:])
+        dcost_sc[:] = jnp.where(live, dcost_new, dcost_sc[:])
+        dlen_sc[:] = jnp.where(live, dlen_new, dlen_sc[:])
+        dout_sc[:] = jnp.where(live, dout_new, dout_sc[:])
 
         return patience, min_cost, stopped, steps
 
-    carry0 = (jnp.int32(PATIENCE), jnp.float32(1000.0), row_dead,
-              jnp.int32(0))
+    carry0 = (jnp.full((G, 1), PATIENCE, jnp.int32),
+              jnp.full((G, 1), 1000.0, f32),
+              rows_dead.astype(f32),
+              jnp.zeros((G, 1), jnp.int32))
     _, _, _, steps = jax.lax.fori_loop(0, max_len, body, carry0)
 
-    done_out_ref[0] = dout_sc[:].astype(jnp.int32)
-    done_meta_ref[0] = jnp.concatenate(
-        [dcost_sc[:], dadj_sc[:], dlen_sc[:]], axis=1)
-    steps_ref[:] = steps.reshape(1, 1, 1)
+    done_out_ref[:] = dout_sc[:].reshape(G, K, Lout).astype(jnp.int32)
+    done_meta_ref[:] = jnp.concatenate(
+        [dcost_sc[:], dadj_sc[:], dlen_sc[:]],
+        axis=1).reshape(G, K, 3)
+    steps_ref[:] = steps.reshape(G, 1, 1)
 
 
 @functools.partial(
@@ -290,18 +379,23 @@ def _kernel(pre_ref, att_ref, mask_ref,
     static_argnames=("beam", "max_len", "eol", "stop_on",
                      "ignore_first_eol", "char_discount", "round_to_inf",
                      "prior", "before", "after", "initial_begin",
-                     "initial_end", "min_speed", "max_speed", "interpret"))
+                     "initial_end", "min_speed", "max_speed", "group",
+                     "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
                      beam, max_len, eol, stop_on="patience",
                      ignore_first_eol=False, char_discount=0.0,
                      round_to_inf=1e9, prior="expanding", before=0.0,
                      after=0.0, initial_begin=0.0, initial_end=1e4,
-                     min_speed=0.0, max_speed=0.0, interpret=False):
+                     min_speed=0.0, max_speed=0.0, group=16,
+                     interpret=False):
     """Run the full decode loop.  Returns (done_out (U,K,max_len) int32,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
     ``tables`` is the dict from
     ``SequenceGenerator.loop_decode_tables`` (dense weight tables).
+    ``group``: utterances decoded together per grid step; the batch is
+    padded up to a multiple (padded rows are fully-masked and retire
+    immediately).
     """
     U, L, M = pre.shape
     D = attended.shape[-1]
@@ -313,9 +407,16 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     K = beam
     f32 = jnp.float32
     Lout = int(max_len)
+    G = max(1, min(int(group), U))
+    U_pad = -(-U // G) * G
+    if U_pad != U:
+        zeros = lambda a: jnp.zeros((U_pad - U,) + a.shape[1:], a.dtype)
+        pre = jnp.concatenate([pre, zeros(pre)])
+        attended = jnp.concatenate([attended, zeros(attended)])
+        att_mask = jnp.concatenate([att_mask, zeros(att_mask)])
 
     kernel = functools.partial(
-        _kernel, beam=K, max_len=Lout, eol=int(eol),
+        _kernel, beam=K, group=G, max_len=Lout, eol=int(eol),
         stop_on=stop_on, ignore_first_eol=bool(ignore_first_eol),
         char_discount=float(char_discount),
         round_to_inf=float(round_to_inf), prior=prior,
@@ -326,18 +427,18 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=120 * 1024 * 1024)
 
     full = lambda *dims: pl.BlockSpec(dims, lambda u: (0,) * len(dims))
-    peru = lambda *dims: pl.BlockSpec((1,) + dims,
+    perg = lambda *dims: pl.BlockSpec((G,) + dims,
                                       lambda u: (u,) + (0,) * len(dims))
     done_out, done_meta, steps = pl.pallas_call(
         kernel,
-        grid=(U,),
+        grid=(U_pad // G,),
         in_specs=[
-            peru(L, M),             # pre
-            peru(L, D),             # attended
-            peru(1, L),             # att_mask
+            perg(L, M),             # pre
+            perg(L, D),             # attended
+            perg(1, L),             # att_mask
             full(L, L),             # toeplitz
             full(L, L),             # tri
             full(S, M),             # state_trans
@@ -358,25 +459,25 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
             full(S, S),             # GRU state_to_state
             full(1, S),             # GRU initial state
         ],
-        out_specs=(peru(K, Lout), peru(K, 3), peru(1, 1)),
+        out_specs=(perg(K, Lout), perg(K, 3), perg(1, 1)),
         out_shape=(
-            jax.ShapeDtypeStruct((U, K, Lout), jnp.int32),
-            jax.ShapeDtypeStruct((U, K, 3), f32),
-            jax.ShapeDtypeStruct((U, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, K, Lout), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, K, 3), f32),
+            jax.ShapeDtypeStruct((U_pad, 1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, S), f32),          # h
-            pltpu.VMEM((K, L), f32),          # weights
-            pltpu.VMEM((K, Lout), f32),       # alive_out
-            pltpu.VMEM((K, 1), f32),          # alive_costs
-            pltpu.VMEM((K, Lout), f32),       # done_out (f32 work copy)
-            pltpu.VMEM((K, 1), f32),          # done cost
-            pltpu.VMEM((K, 1), f32),          # done adjusted
-            pltpu.VMEM((K, 1), f32),          # done len
+            pltpu.VMEM((G * K, S), f32),          # h
+            pltpu.VMEM((G * K, L), f32),          # weights
+            pltpu.VMEM((G * K, Lout), f32),       # alive_out
+            pltpu.VMEM((G * K, 1), f32),          # alive_costs
+            pltpu.VMEM((G * K, Lout), f32),       # done_out (f32 work)
+            pltpu.VMEM((G * K, 1), f32),          # done cost
+            pltpu.VMEM((G * K, 1), f32),          # done adjusted
+            pltpu.VMEM((G * K, 1), f32),          # done len
         ],
         interpret=interpret,
         **kwargs,
-    )(pre, attended, att_mask.reshape(U, 1, L),
+    )(pre, attended, att_mask.reshape(U_pad, 1, L),
       tables["toeplitz"], tables["tri"], tables["state_trans"],
       tables["handler"].reshape(1, M), tables["v"].reshape(M, 1),
       tables["merge_k"], tables["merge_b"].reshape(1, R),
@@ -386,4 +487,4 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
       tables["fork_gate_b"].reshape(1, 2 * S), tables["dist_in_w"],
       tables["dist_gate_w"], tables["wsg"], tables["wss"],
       tables["h0"].reshape(1, S))
-    return done_out, done_meta, steps.reshape(U)
+    return done_out[:U], done_meta[:U], steps.reshape(U_pad)[:U]

@@ -168,19 +168,14 @@ class BeamSearch:
         loop_mode = (self._loop_kernel_mode()
                      if constraint is None and mesh is None else None)
         if loop_mode is not None:
-            key = ("loop", inputs.shape, stop_on, bool(ignore_first_eol),
-                   int(max_length), float(char_discount),
-                   float(round_to_inf))
-            if key not in self._jitted:
-                self._jitted[key] = jax.jit(functools.partial(
-                    self._search_loop_kernel, stop_on=stop_on,
-                    ignore_first_eol=bool(ignore_first_eol),
-                    eol=int(eol_symbol), max_len=max(1, int(max_length)),
-                    char_discount=float(char_discount),
-                    round_to_inf=float(round_to_inf),
-                    interpret=loop_mode == "interpret"))
-            out = self._jitted[key](params, jnp.asarray(inputs),
-                                    jnp.asarray(inputs_mask))
+            out = self._search_loop_kernel(
+                params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
+                stop_on=stop_on,
+                ignore_first_eol=bool(ignore_first_eol),
+                eol=int(eol_symbol), max_len=max(1, int(max_length)),
+                char_discount=float(char_discount),
+                round_to_inf=float(round_to_inf),
+                interpret=loop_mode == "interpret")
         else:
             key = (inputs.shape, stop_on, bool(ignore_first_eol),
                    constraint is not None)
@@ -270,23 +265,60 @@ class BeamSearch:
     def _search_loop_kernel(self, params, inputs, inputs_mask, *,
                             stop_on, ignore_first_eol, eol, max_len,
                             char_discount, round_to_inf, interpret):
-        """Whole-loop Pallas decode: encoder + ONE kernel."""
+        """Whole-loop Pallas decode: encoder + ONE kernel.
+
+        Runs as three jitted pieces so the params-only dense weight
+        tables (and any compute-dtype param cast) are computed ONCE per
+        (params, encoded-length) instead of on every call — table
+        extraction costs ~36 ms on the flagship model, a third of the
+        decode itself."""
         from attention_lvcsr_tpu.ops.pallas.beam_loop import (
             INF as LOOP_INF, beam_search_loop)
         net = self.net
         if self.compute_dtype is not None:
             dtype = jnp.dtype(self.compute_dtype)
-            cast = (lambda a: a.astype(dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
-            params = jax.tree.map(cast, params)
+            cached = getattr(self, "_cast_cache", None)
+            if cached is not None and cached[0] is params \
+                    and cached[1] == dtype:
+                params = cached[2]
+            else:
+                cast = (lambda a: a.astype(dtype)
+                        if jnp.issubdtype(a.dtype, jnp.floating) else a)
+                cast_params = jax.jit(
+                    lambda p: jax.tree.map(cast, p))(params)
+                self._cast_cache = (params, dtype, cast_params)
+                params = cast_params
             inputs = inputs.astype(dtype)
             inputs_mask = inputs_mask.astype(dtype)
-        data = net.apply(params, inputs, inputs_mask,
-                         method=net.decode_loop)
+
+        ctx_key = ("loop_ctx", inputs.shape, inputs.dtype)
+        if ctx_key not in self._jitted:
+            self._jitted[ctx_key] = jax.jit(functools.partial(
+                net.apply, method=net.decode_loop))
+        data = self._jitted[ctx_key](params, inputs, inputs_mask)
+
+        L = data["attended"].shape[1]
+        dt = data["attended"].dtype
+        tkey = (L, str(dt))
+        cached = getattr(self, "_tables_cache", None)
+        if cached is not None and cached[0] is params \
+                and tkey in cached[1]:
+            tables = cached[1][tkey]
+        else:
+            tables = jax.jit(
+                functools.partial(net.apply,
+                                  method=net.decode_loop_tables),
+                static_argnums=(1, 2))(params, L, dt)
+            if cached is None or cached[0] is not params:
+                self._tables_cache = (params, {})
+            self._tables_cache[1][tkey] = tables
+        data = dict(data, tables=tables)
         prior = dict(net.prior or {})
         done_out, done_meta, steps = beam_search_loop(
             data["pre"], data["attended"], data["attended_mask"],
-            data["tables"], beam=self.beam_size, max_len=max_len,
+            data["tables"], beam=self.beam_size,
+            group=int(os.environ.get("LVSR_LOOP_GROUP", 16)),
+            max_len=max_len,
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,
             prior=prior.get("type", "expanding"),
