@@ -91,6 +91,10 @@ class Configuration(dict):
                 changes = dict(changes)
                 del changes["number"]
                 merge_recursively(stage_config, changes)
+                # stage deltas come from the schema-opaque `stages:`
+                # section, so archival scalar quirks in them were not
+                # coerced with the top level
+                coerce_config(stage_config, schema_path=schema_path)
                 self.ordered_stages[name] = stage_config
 
         validate_config(config, schema_path)

@@ -46,7 +46,11 @@ def coerce_config(config: Any, schema: Optional[dict] = None,
     nips_baseline.yaml; the reference schema types it as str for the
     same reason)."""
     if schema is None:
-        with open(schema_path or DEFAULT_SCHEMA_PATH) as f:
+        if schema_path is False:        # validation disabled: no-op
+            return config
+        if schema_path is None:
+            schema_path = DEFAULT_SCHEMA_PATH
+        with open(os.path.expandvars(schema_path)) as f:
             schema = yaml.safe_load(f)
     kind = schema.get("type", "map" if "map" in schema else "any")
     if kind == "map" and isinstance(config, dict):

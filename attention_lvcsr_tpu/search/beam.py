@@ -275,19 +275,29 @@ class BeamSearch:
         from attention_lvcsr_tpu.ops.pallas.beam_loop import (
             INF as LOOP_INF, beam_search_loop)
         net = self.net
+        # Cache keys are the tuple of parameter LEAF ids (jax arrays are
+        # immutable, so any weight change replaces at least one leaf;
+        # keying on the outer dict's identity would serve stale tables
+        # after in-place tree edits like params['...']['bias'] = new).
+        params_token = tuple(map(id, jax.tree.leaves(params)))
         if self.compute_dtype is not None:
             dtype = jnp.dtype(self.compute_dtype)
             cached = getattr(self, "_cast_cache", None)
-            if cached is not None and cached[0] is params \
-                    and cached[1] == dtype:
-                params = cached[2]
+            if cached is not None and cached[0] == (params_token, dtype):
+                params = cached[1]
             else:
                 cast = (lambda a: a.astype(dtype)
                         if jnp.issubdtype(a.dtype, jnp.floating) else a)
-                cast_params = jax.jit(
-                    lambda p: jax.tree.map(cast, p))(params)
-                self._cast_cache = (params, dtype, cast_params)
+                if "loop_cast" not in self._jitted:
+                    self._jitted["loop_cast"] = jax.jit(
+                        lambda p: jax.tree.map(cast, p))
+                cast_params = self._jitted["loop_cast"](params)
+                # keep a strong ref to the source tree so its leaf ids
+                # cannot be recycled while the cache entry lives
+                self._cast_cache = ((params_token, dtype), cast_params,
+                                    params)
                 params = cast_params
+            params_token = tuple(map(id, jax.tree.leaves(params)))
             inputs = inputs.astype(dtype)
             inputs_mask = inputs_mask.astype(dtype)
 
@@ -301,16 +311,18 @@ class BeamSearch:
         dt = data["attended"].dtype
         tkey = (L, str(dt))
         cached = getattr(self, "_tables_cache", None)
-        if cached is not None and cached[0] is params \
+        if cached is not None and cached[0] == params_token \
                 and tkey in cached[1]:
             tables = cached[1][tkey]
         else:
-            tables = jax.jit(
-                functools.partial(net.apply,
-                                  method=net.decode_loop_tables),
-                static_argnums=(1, 2))(params, L, dt)
-            if cached is None or cached[0] is not params:
-                self._tables_cache = (params, {})
+            if "loop_tables" not in self._jitted:
+                self._jitted["loop_tables"] = jax.jit(
+                    functools.partial(net.apply,
+                                      method=net.decode_loop_tables),
+                    static_argnums=(1, 2))
+            tables = self._jitted["loop_tables"](params, L, dt)
+            if cached is None or cached[0] != params_token:
+                self._tables_cache = (params_token, {}, params)
             self._tables_cache[1][tkey] = tables
         data = dict(data, tables=tables)
         prior = dict(net.prior or {})

@@ -46,6 +46,8 @@ class Transcriber:
         self.num2char = {v: k for k, v in char_map.items()}
         self.normalization = normalization
         self.search_kwargs = dict(search_kwargs or {})
+        dims = recognizer.net_config.get("input_dims") or {}
+        self.expected_dim = dims.get("recordings")
 
     def _text(self, labels) -> str:
         eos = self.recognizer.eos_label
@@ -107,9 +109,18 @@ class _Batcher:
     def submit(self, features: np.ndarray, timeout: float = 120.0):
         event = threading.Event()
         box: dict = {}
+        entry = (features, event, box)
         with self._lock:
-            self._pending.append((features, event, box))
+            self._pending.append(entry)
         if not event.wait(timeout):
+            # shed the abandoned request if it is still queued —
+            # otherwise overload deepens as the chip decodes batches
+            # nobody will read
+            with self._lock:
+                try:
+                    self._pending.remove(entry)
+                except ValueError:
+                    pass
             raise TimeoutError("decode timed out")
         if "error" in box:
             raise RuntimeError(box["error"])
@@ -125,8 +136,19 @@ class _Batcher:
             if have < self.max_batch:
                 time.sleep(self.batch_wait)  # companion window
             with self._lock:
-                group = self._pending[:self.max_batch]
-                del self._pending[:self.max_batch]
+                # only feature-compatible requests batch together: one
+                # client's odd feature dim must not poison the others
+                group, rest = [], []
+                feat_dim = None
+                for entry in self._pending:
+                    dim = entry[0].shape[1]
+                    if feat_dim is None:
+                        feat_dim = dim
+                    if dim == feat_dim and len(group) < self.max_batch:
+                        group.append(entry)
+                    else:
+                        rest.append(entry)
+                self._pending = rest
             if not group:
                 continue
             try:
@@ -195,11 +217,21 @@ def make_server(transcriber: Transcriber, host: str = "127.0.0.1",
                         "body needs 'features' or 'waveform'")
                 if feats.ndim != 2:
                     raise ValueError("features must be (T, F)")
+                expected = transcriber.expected_dim
+                if expected is not None and feats.shape[1] != expected:
+                    raise ValueError(
+                        f"model expects {expected}-dim features, got "
+                        f"{feats.shape[1]}")
+            except Exception as exc:    # malformed request
+                stats["errors"] += 1
+                return self._reply(400, {"error":
+                                         f"{type(exc).__name__}: {exc}"})
+            try:
                 result = batcher.submit(feats)
                 self._reply(200, result)
-            except Exception as exc:
+            except Exception as exc:    # decode/server failure
                 stats["errors"] += 1
-                self._reply(400, {"error":
+                self._reply(500, {"error":
                                   f"{type(exc).__name__}: {exc}"})
 
     server = ThreadingHTTPServer((host, port), Handler)

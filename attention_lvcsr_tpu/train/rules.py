@@ -250,12 +250,17 @@ def build_optimizer(train_conf: dict, reg_conf: Optional[dict] = None):
     # done the XLA way: the schedule is compiled into the update instead
     # of mutated from the host mid-training).
     if train_conf.get("scale_schedule"):
+        entries = sorted((int(s), float(f))
+                         for s, f in train_conf["scale_schedule"])
+        if len({s for s, _ in entries}) != len(entries):
+            raise ValueError("scale_schedule has duplicate step values: "
+                             f"{train_conf['scale_schedule']}")
+        # optax boundary scales are multiplicative; chain the ratios so
+        # each boundary lands on its ABSOLUTE factor
         sched = optax.piecewise_constant_schedule(
-            1.0, {int(step): float(factor) / prev_factor
-                  for (step, factor), prev_factor in zip(
-                      train_conf["scale_schedule"],
-                      [1.0] + [float(f) for _, f in
-                               train_conf["scale_schedule"][:-1]])})
+            1.0, {step: factor / prev
+                  for (step, factor), prev in zip(
+                      entries, [1.0] + [f for _, f in entries[:-1]])})
         chain.append(optax.scale_by_schedule(sched))
     chain.append(remove_not_finite(0.0))
     if train_conf.get("burn_in_steps", 0):

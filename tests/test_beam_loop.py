@@ -151,3 +151,28 @@ def test_loop_kernel_env_kill_switch(monkeypatch):
     rec = _build("interpret")
     rec.init_beam_search(3)
     assert rec._beam_search._loop_kernel_mode() is None
+
+
+def test_table_cache_invalidates_on_param_change():
+    """The per-(params, length) dense-table cache must notice in-place
+    tree edits (leaf replacement), not just new tree objects."""
+    inputs, mask = _batch()
+    rec = _build("interpret")
+    rec.init_beam_search(3)
+    out1 = rec.beam_search(inputs, mask, as_arrays=True,
+                           char_discount=0.1)
+    # in-place leaf replacement, same outer dict object
+    p = rec.params["params"]["generator"]["readout"]["post_merge_0"]
+    p["bias"] = p["bias"].at[0].add(3.0)
+    out2 = rec.beam_search(inputs, mask, as_arrays=True,
+                           char_discount=0.1)
+    # fresh recognizer with the same perturbation agrees with out2
+    rec3 = _build("interpret")
+    p3 = rec3.params["params"]["generator"]["readout"]["post_merge_0"]
+    p3["bias"] = p3["bias"].at[0].add(3.0)
+    rec3.init_beam_search(3)
+    out3 = rec3.beam_search(inputs, mask, as_arrays=True,
+                            char_discount=0.1)
+    np.testing.assert_array_equal(out2["done_out"], out3["done_out"])
+    assert not np.array_equal(out1["done_out"], out2["done_out"]) or \
+        not np.allclose(out1["done_cost"], out2["done_cost"])

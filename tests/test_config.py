@@ -222,3 +222,17 @@ def test_max_norm_negative_disables():
         new = params["kernel"] + updates["kernel"]
         clipped = bool(jnp.all(jnp.linalg.norm(new, axis=0) < 10.0))
         assert clipped == expect_clip
+
+
+def test_stage_deltas_are_coerced(tmp_path):
+    """Archival numeric strings inside stage deltas coerce like the top
+    level (stages are schema-opaque, so they need their own pass)."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(textwrap.dedent("""
+        training: {epsilon: 1e-8}
+        stages:
+            main: {number: 0, training: {epsilon: 1e-9}}
+    """))
+    config = Configuration(str(cfg))
+    assert config["training"]["epsilon"] == 1e-8
+    assert config.ordered_stages["main"]["training"]["epsilon"] == 1e-9

@@ -128,3 +128,32 @@ def test_waveform_frontend(server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_mixed_feature_dims_rejected_cleanly(server):
+    """A request with the wrong feature dim gets its own 400 and does
+    not poison concurrently batched valid requests."""
+    srv, _ = server
+    rng = np.random.RandomState(11)
+    results, codes = {}, {}
+
+    def good(i):
+        _, results[i] = _post(
+            srv, {"features": rng.randn(14, 6).tolist()})
+
+    def bad():
+        try:
+            _post(srv, {"features": rng.randn(14, 9).tolist()})
+            codes["bad"] = 200
+        except urllib.error.HTTPError as e:
+            codes["bad"] = e.code
+
+    threads = [threading.Thread(target=good, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=bad))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert codes["bad"] == 400
+    assert len(results) == 3
+    assert all("labels" in r for r in results.values())

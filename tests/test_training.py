@@ -250,3 +250,24 @@ def test_scale_schedule():
         seen.append(float(updates["w"]))
     assert_allclose(seen, [-1.0, -1.0, -0.5, -0.5, -0.1, -0.1],
                     rtol=1e-6)
+
+
+def test_scale_schedule_unsorted_and_duplicates():
+    """Unsorted entries anneal correctly (sorted before chaining the
+    multiplicative ratios); duplicate steps are rejected."""
+    opt = rules.build_optimizer(
+        {"rules": ["momentum"], "scale": 1.0, "momentum": 0.0,
+         "gradient_threshold": 0,
+         "scale_schedule": [[4, 0.1], [2, 0.5]]}, {})
+    params = {"w": jnp.zeros(())}
+    state = opt.init(params)
+    seen = []
+    for _ in range(6):
+        updates, state = opt.update({"w": jnp.ones(())}, state, params)
+        seen.append(float(updates["w"]))
+    assert_allclose(seen, [-1.0, -1.0, -0.5, -0.5, -0.1, -0.1],
+                    rtol=1e-6)
+    with pytest.raises(ValueError):
+        rules.build_optimizer(
+            {"rules": ["momentum"],
+             "scale_schedule": [[2, 0.5], [2, 0.1]]}, {})

@@ -7,8 +7,6 @@ through unchanged)."""
 import argparse
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
