@@ -165,7 +165,8 @@ class BeamSearch:
                 "a callable, or None")
         # the whole-loop kernel is a single-device program; sharded decode
         # uses the XLA path, which the SPMD partitioner splits over 'data'
-        loop_mode = (self._loop_kernel_mode()
+        loop_mode = (self._loop_kernel_mode(
+                         num_frames=np.shape(inputs)[1])
                      if constraint is None and mesh is None else None)
         if loop_mode is not None:
             out = self._search_loop_kernel(
@@ -225,8 +226,21 @@ class BeamSearch:
         costs = [float(out["done_cost"][0, i]) for i in order]
         return outputs, costs
 
+    # VMEM budget for the kernel's dominant intermediate, the
+    # (G, K, L, M) attention-match tensor; the group size is chosen to
+    # fit it, and configurations that cannot fit even one utterance
+    # (huge beams / very long audio) fall back to the XLA path.
+    LOOP_VMEM_BUDGET = 64 << 20
+
+    def _loop_group(self, attended_len, match_dim):
+        env = os.environ.get("LVSR_LOOP_GROUP")
+        if env:
+            return max(1, int(env))
+        per_utt = self.beam_size * attended_len * match_dim * 4
+        return max(1, min(16, self.LOOP_VMEM_BUDGET // max(per_utt, 1)))
+
     # ------------------------------------------------------------------
-    def _loop_kernel_mode(self):
+    def _loop_kernel_mode(self, num_frames=None):
         """'compile'/'interpret' when the whole-loop Pallas decode kernel
         (ops/pallas/beam_loop.py) covers this model, else None.  The
         support conditions mirror
@@ -237,6 +251,18 @@ class BeamSearch:
             return None
         if not hasattr(net, "criterion"):
             return None  # scripted/test doubles: XLA path only
+        if self.beam_size > 64:
+            return None  # wide beams (reference decode.sh uses 200): XLA
+        if num_frames is not None:
+            # estimated single-utterance match tensor must fit the budget
+            subsample = 1
+            for s in (net.subsample or []):
+                subsample *= int(s)
+            l_est = -(-int(num_frames) // max(subsample, 1))
+            m_est = net.dim_matcher or net.dim_dec
+            if self.beam_size * l_est * m_est * 4 > \
+                    1.5 * self.LOOP_VMEM_BUDGET:
+                return None
         crit = dict(net.criterion or {"name": "log_likelihood"})
         lm = dict(net.lm) if net.lm else {}
         canon = lambda n: n.rsplit(".", 1)[-1] if isinstance(n, str) else n
@@ -329,7 +355,7 @@ class BeamSearch:
         done_out, done_meta, steps = beam_search_loop(
             data["pre"], data["attended"], data["attended_mask"],
             data["tables"], beam=self.beam_size,
-            group=int(os.environ.get("LVSR_LOOP_GROUP", 16)),
+            group=self._loop_group(L, int(tables["v"].shape[0])),
             max_len=max_len,
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,

@@ -176,3 +176,25 @@ def test_table_cache_invalidates_on_param_change():
     np.testing.assert_array_equal(out2["done_out"], out3["done_out"])
     assert not np.array_equal(out1["done_out"], out2["done_out"]) or \
         not np.allclose(out1["done_cost"], out2["done_cost"])
+
+
+def test_wide_beam_falls_back_to_xla():
+    """Reference decode.sh uses beam 200 — far past the kernel's VMEM
+    budget; the mode selector must route it to the XLA path."""
+    rec = _build("interpret")
+    rec.init_beam_search(200)
+    assert rec._beam_search._loop_kernel_mode() is None
+    rec.init_beam_search(3)
+    assert rec._beam_search._loop_kernel_mode() == "interpret"
+    # very long audio also falls back (estimated match tensor too big)
+    assert rec._beam_search._loop_kernel_mode(
+        num_frames=5_000_000) is None
+
+
+def test_group_autosizing():
+    rec = _build("interpret")
+    rec.init_beam_search(10)
+    bs = rec._beam_search
+    assert bs._loop_group(200, 500) == 16
+    assert bs._loop_group(1600, 500) == 2   # long audio: smaller groups
+    assert bs._loop_group(400000, 500) == 1  # never below 1
