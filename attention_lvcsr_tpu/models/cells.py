@@ -145,15 +145,22 @@ class GatedRecurrent(RecurrentCell):
         return {"states": _apply_mask(mask, new_h, h)}
 
     def scan(self, seqs, mask=None, initial_states=None, pallas=None):
-        if pallas in ("compile", "interpret"):
-            from attention_lvcsr_tpu.ops.pallas.gru_scan import gru_scan
+        if pallas in ("compile", "interpret", "train",
+                      "train_interpret"):
             batch = seqs["inputs"].shape[1]
             if initial_states is None:
                 initial_states = self.initial_states(batch)
-            states = gru_scan(seqs["inputs"], seqs["gate_inputs"], mask,
-                              initial_states["states"], self.state_to_state,
-                              self.state_to_gates,
-                              interpret=pallas == "interpret")
+            if pallas in ("train", "train_interpret"):
+                # differentiable fused scan (custom VJP)
+                from attention_lvcsr_tpu.ops.pallas.gru_train import \
+                    gru_scan_train as scan_fn
+            else:
+                from attention_lvcsr_tpu.ops.pallas.gru_scan import \
+                    gru_scan as scan_fn
+            states = scan_fn(seqs["inputs"], seqs["gate_inputs"], mask,
+                             initial_states["states"],
+                             self.state_to_state, self.state_to_gates,
+                             interpret=pallas.endswith("interpret"))
             return {"states": states, "final": {"states": states[-1]}}
         return super().scan(seqs, mask=mask, initial_states=initial_states)
 

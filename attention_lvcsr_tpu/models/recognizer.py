@@ -17,6 +17,7 @@ initialization (``lvsr/main.py:225-232``) and checkpoint surgery.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
@@ -168,11 +169,22 @@ class RecognizerNet(nn.Module):
             bottom_out = self.bottom_dropout(bottom_out,
                                              deterministic=False)
         pallas = None
-        if fast and self.use_pallas != "never":
-            if self.use_pallas == "interpret":
-                pallas = "interpret"
-            elif jax.default_backend() == "tpu":
-                pallas = "compile"
+        if self.use_pallas != "never":
+            if fast:
+                # forward-only fused scan (inference paths)
+                if self.use_pallas == "interpret":
+                    pallas = "interpret"
+                elif jax.default_backend() == "tpu":
+                    pallas = "compile"
+            elif not os.environ.get("LVSR_NO_TRAIN_GRU"):
+                # differentiable fused scan (custom VJP) for training;
+                # single-device only — under SPMD the pallas_call has no
+                # partitioning rule, so sharded meshes keep the XLA scan
+                if self.use_pallas == "interpret":
+                    pallas = "train_interpret"
+                elif jax.default_backend() == "tpu" \
+                        and jax.device_count() == 1:
+                    pallas = "train"
         encoded, encoded_mask = self.encoder(bottom_out, inputs_mask,
                                              pallas=pallas)
         if self.top is not None:

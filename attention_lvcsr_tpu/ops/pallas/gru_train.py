@@ -1,0 +1,237 @@
+"""Fused GRU sequence scan with a custom VJP: training in TWO kernels.
+
+The training-path encoder is ~85 % of the train step (measured on chip:
+89 ms of a 105 ms fwd+bwd at B=32, T=800): an XLA ``lax.scan`` forward
+plus its transposed backward scan dispatch thousands of small fusions.
+Here the forward runs as ONE Pallas kernel (like the inference scan in
+:mod:`.gru_scan`, but also streaming the gate/candidate activations to
+HBM as residuals), and the backward runs as ONE reverse-grid kernel that
+carries ``dh`` in VMEM, accumulates the recurrent-weight gradients in
+VMEM across all T steps, and emits the per-step input-projection
+gradients.
+
+Saving residuals costs (3 tensors of (T, B, D)) ~0.2 ms of HBM traffic
+per scan — far cheaper than recomputing the gates in the backward pass.
+
+Semantics are exactly ``models/cells.py GatedRecurrent.one_step`` with
+mask freezing (blocks' gate layout: [update, reset]); gradients are
+checked against ``jax.grad`` of the XLA scan in
+``tests/test_gru_train_pallas.py``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _dot(a, b, contract=(1, 0)):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((contract[0],), (contract[1],)),
+                                 ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: states + residuals (update, reset, candidate)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
+                out_ref, u_ref, r_ref, c_ref, h_scratch, *, dim):
+    f32 = jnp.float32
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[...] = h0_ref[0].astype(f32)
+
+    h = h_scratch[...]                                   # (B, D)
+    gates = jax.nn.sigmoid(
+        _dot(h, wsg_ref[:].astype(f32)) + g_ref[0].astype(f32))
+    update = gates[:, :dim]
+    reset = gates[:, dim:]
+    cand = jnp.tanh(_dot(h * reset, wss_ref[:].astype(f32))
+                    + x_ref[0].astype(f32))
+    new_h = update * cand + (1.0 - update) * h
+    m = m_ref[0].astype(f32).reshape(-1, 1)              # (B, 1)
+    new_h = m * new_h + (1.0 - m) * h
+    h_scratch[...] = new_h
+    out_ref[0] = new_h.astype(out_ref.dtype)
+    u_ref[0] = update.astype(u_ref.dtype)
+    r_ref[0] = reset.astype(r_ref.dtype)
+    c_ref[0] = cand.astype(c_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: reverse time, dh carried in VMEM, dW accumulated
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(dout_ref, u_ref, r_ref, c_ref, hprev_ref, m_ref,
+                wss_ref, wsg_ref,
+                dxin_ref, dxgate_ref, dwss_ref, dwsg_ref, dh0_ref,
+                dh_scratch, *, dim, steps):
+    f32 = jnp.float32
+    t = pl.program_id(0)           # 0.. T-1; actual time = T-1-t
+
+    @pl.when(t == 0)
+    def _():
+        dh_scratch[...] = jnp.zeros_like(dh_scratch)
+        dwss_ref[...] = jnp.zeros_like(dwss_ref)
+        dwsg_ref[...] = jnp.zeros_like(dwsg_ref)
+
+    u = u_ref[0].astype(f32)
+    r = r_ref[0].astype(f32)
+    cand = c_ref[0].astype(f32)
+    h_prev = hprev_ref[0].astype(f32)
+    m = m_ref[0].astype(f32).reshape(-1, 1)
+    wss = wss_ref[:].astype(f32)
+    wsg = wsg_ref[:].astype(f32)
+
+    dh = dh_scratch[...] + dout_ref[0].astype(f32)       # (B, D)
+    draw = dh * m                  # grad into the unmasked new_h
+    dh_prev = dh * (1.0 - m)       # mask passthrough
+
+    du = draw * (cand - h_prev)
+    dcand = draw * u
+    dh_prev = dh_prev + draw * (1.0 - u)
+
+    da = dcand * (1.0 - cand * cand)                     # pre-tanh
+    dxin_ref[0] = da.astype(dxin_ref.dtype)
+    dhr = _dot(da, wss, contract=(1, 1))                 # @ wss.T
+    dwss_ref[...] += _dot(h_prev * r, da, contract=(0, 0))
+    dh_prev = dh_prev + dhr * r
+    dr = dhr * h_prev
+
+    gates = jnp.concatenate([u, r], axis=1)
+    dg = jnp.concatenate([du, dr], axis=1) * gates * (1.0 - gates)
+    dxgate_ref[0] = dg.astype(dxgate_ref.dtype)
+    dh_prev = dh_prev + _dot(dg, wsg, contract=(1, 1))   # @ wsg.T
+    dwsg_ref[...] += _dot(h_prev, dg, contract=(0, 0))
+
+    dh_scratch[...] = dh_prev
+
+    @pl.when(t == steps - 1)
+    def _():
+        dh0_ref[...] = dh_prev
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _gru_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
+               interpret):
+    out, _ = _gru_train_fwd(x_proj, gate_proj, mask, h0, w_state,
+                            w_gates, interpret)
+    return out
+
+
+def _gru_train_fwd(x_proj, gate_proj, mask, h0, w_state, w_gates,
+                   interpret):
+    T, B, D = x_proj.shape
+    kernel = functools.partial(_fwd_kernel, dim=D)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0))
+    states, u, r, c = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            seq(D),                                           # x
+            seq(2 * D),                                       # gates
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),     # mask
+            pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),     # h0
+            pl.BlockSpec((D, D), lambda t: (0, 0)),
+            pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),
+        ],
+        out_specs=(seq(D), seq(D), seq(D), seq(D)),
+        out_shape=tuple(jax.ShapeDtypeStruct((T, B, D), x_proj.dtype)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)]
+        if _HAS_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(x_proj, gate_proj, mask.reshape(T, 1, B), h0[None],
+      w_state, w_gates)
+    res = (states, u, r, c, mask, h0, w_state, w_gates)
+    return states, res
+
+
+def _gru_train_bwd(interpret, res, dstates):
+    states, u, r, c, mask, h0, w_state, w_gates = res
+    T, B, D = states.shape
+    # h_{t-1} sequence: [h0, states[:-1]]
+    hprev = jnp.concatenate([h0[None], states[:-1]], axis=0)
+    kernel = functools.partial(_bwd_kernel, dim=D, steps=T)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    rev = lambda d: pl.BlockSpec((1, B, d), lambda t: (T - 1 - t, 0, 0))
+    f32 = jnp.float32
+    dxin, dxgate, dwss, dwsg, dh0 = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            rev(D),                                           # dstates
+            rev(D), rev(D), rev(D),                           # u, r, cand
+            rev(D),                                           # h_prev
+            pl.BlockSpec((1, 1, B), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((D, D), lambda t: (0, 0)),
+            pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),
+        ],
+        out_specs=(rev(D), rev(2 * D),
+                   pl.BlockSpec((D, D), lambda t: (0, 0)),
+                   pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),
+                   pl.BlockSpec((B, D), lambda t: (0, 0))),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, D), states.dtype),
+            jax.ShapeDtypeStruct((T, B, 2 * D), states.dtype),
+            jax.ShapeDtypeStruct((D, D), f32),
+            jax.ShapeDtypeStruct((D, 2 * D), f32),
+            jax.ShapeDtypeStruct((B, D), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)]
+        if _HAS_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(dstates, u, r, c, hprev, mask.reshape(T, 1, B),
+      w_state, w_gates)
+    return (dxin.astype(states.dtype),
+            dxgate.astype(states.dtype),
+            jnp.zeros_like(mask),
+            dh0.astype(h0.dtype),
+            dwss.astype(w_state.dtype),
+            dwsg.astype(w_gates.dtype))
+
+
+_gru_train.defvjp(_gru_train_fwd, _gru_train_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_scan_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
+                   interpret=False):
+    """Differentiable fused GRU scan.
+
+    Same contract as :func:`attention_lvcsr_tpu.ops.pallas.gru_scan.
+    gru_scan` — x_proj (T, B, D), gate_proj (T, B, 2D), mask (T, B) or
+    None, h0 (B, D), w_state (D, D), w_gates (D, 2D) -> (T, B, D) — but
+    with a custom VJP so it serves the training path.
+    """
+    T, B = x_proj.shape[:2]
+    if mask is None:
+        mask = jnp.ones((T, B), x_proj.dtype)
+    return _gru_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
+                      interpret)
