@@ -96,17 +96,23 @@ class _Batcher:
     """Collect concurrent requests into one decode call."""
 
     def __init__(self, transcriber: Transcriber, max_batch: int = 8,
-                 batch_wait_ms: float = 20.0):
+                 batch_wait_ms: float = 20.0,
+                 request_timeout: float = 600.0):
         self.transcriber = transcriber
         self.max_batch = max_batch
         self.batch_wait = batch_wait_ms / 1000.0
+        # generous default: the FIRST decode of a shape bucket includes
+        # an XLA compile that can take minutes
+        self.request_timeout = request_timeout
         self._lock = threading.Lock()
         self._pending = []          # (features, event, result_box)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._stop = False
         self._worker.start()
 
-    def submit(self, features: np.ndarray, timeout: float = 120.0):
+    def submit(self, features: np.ndarray, timeout: float = None):
+        if timeout is None:
+            timeout = self.request_timeout
         event = threading.Event()
         box: dict = {}
         entry = (features, event, box)
@@ -168,10 +174,12 @@ class _Batcher:
 
 def make_server(transcriber: Transcriber, host: str = "127.0.0.1",
                 port: int = 0, max_batch: int = 8,
-                batch_wait_ms: float = 20.0) -> ThreadingHTTPServer:
+                batch_wait_ms: float = 20.0,
+                request_timeout: float = 600.0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``server.server_address``
     carries the bound port when ``port=0``."""
-    batcher = _Batcher(transcriber, max_batch, batch_wait_ms)
+    batcher = _Batcher(transcriber, max_batch, batch_wait_ms,
+                       request_timeout)
     stats = {"requests": 0, "errors": 0, "started": time.time()}
 
     class Handler(BaseHTTPRequestHandler):

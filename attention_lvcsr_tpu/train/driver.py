@@ -600,6 +600,53 @@ def train_multistage(config, save_path, params_path=None, start_stage=None,
     return loops
 
 
+def _batched_decode_iter(stream, recognizer, input_key, decode_batch,
+                         search_kwargs, decode_only):
+    """Group stream examples into chunks and decode each chunk in ONE
+    batched on-device beam search (utterances x beam is the shape the
+    decode is built for).  Yields (number, example, outputs, costs,
+    seconds-per-utterance).  Note the decode-length cap comes from the
+    chunk's longest utterance (the per-utterance path uses each
+    utterance's own length)."""
+    chunk = []
+
+    def flush():
+        if not chunk:
+            return
+        B = len(chunk)
+        arrs = [np.asarray(ex[input_key]) for _, ex in chunk]
+        max_t = max(len(a) for a in arrs)
+        batch = np.zeros((B, max_t) + arrs[0].shape[1:], arrs[0].dtype)
+        mask = np.zeros((B, max_t), np.float32)
+        for i, a in enumerate(arrs):
+            batch[i, :len(a)] = a
+            mask[i, :len(a)] = 1.0
+        before = time.time()
+        out = recognizer.beam_search(batch, mask, as_arrays=True,
+                                     **search_kwargs)
+        took = (time.time() - before) / B
+        for i, (number, ex) in enumerate(chunk):
+            valid = out["done_valid"][i]
+            if not valid.any():
+                yield number, ex, [[]], [np.nan], took
+                continue
+            order = [k for k in np.argsort(out["done_adjusted"][i])
+                     if valid[k]]
+            outputs = [list(out["done_out"][i, k, :out["done_len"][i, k]])
+                       for k in order]
+            costs = [float(out["done_cost"][i, k]) for k in order]
+            yield number, ex, outputs, costs, took
+        chunk.clear()
+
+    for number, example in enumerate(stream):
+        if decode_only is not None and number not in decode_only:
+            continue
+        chunk.append((number, example))
+        if len(chunk) >= decode_batch:
+            yield from flush()
+    yield from flush()
+
+
 def search(config, load_path, part="valid", decode_only=None, report=None,
            decoded_save=None, nll_only=False, seed=None,
            print_to=sys.stdout):
@@ -652,9 +699,19 @@ def search(config, load_path, part="valid", decode_only=None, report=None,
         validate_solution_function=getattr(
             data.info_dataset, "validate_solution", None)).items() if v}
 
-    for number, example in enumerate(stream):
-        if decode_only is not None and number not in decode_only:
-            continue
+    # monitoring.search.decode_batch > 1: chunked batched decoding —
+    # one on-device beam search per chunk instead of per utterance
+    decode_batch = int(search_conf.get("decode_batch", 1) or 1)
+    if decode_batch > 1 and not nll_only:
+        example_iter = _batched_decode_iter(
+            stream, recognizer, input_key, decode_batch, search_kwargs,
+            decode_only)
+    else:
+        example_iter = ((n, ex, None, None, None)
+                        for n, ex in enumerate(stream)
+                        if decode_only is None or n in decode_only)
+
+    for number, example, pre_out, pre_costs, pre_took in example_iter:
         uttids = example.pop("uttids", None)
         raw_groundtruth = np.asarray(example["labels"], np.int64)
         inputs = np.asarray(example[input_key], np.float32)
@@ -682,14 +739,18 @@ def search(config, load_path, part="valid", decode_only=None, report=None,
             print_to.flush()
             continue
 
-        before = time.time()
-        from attention_lvcsr_tpu.search.beam import CandidateNotFoundError
-        try:
-            outputs, search_costs = recognizer.beam_search(
-                inputs, **search_kwargs)
-        except CandidateNotFoundError:
-            outputs, search_costs = [[]], [np.nan]
-        took = time.time() - before
+        if pre_out is not None:
+            outputs, search_costs, took = pre_out, pre_costs, pre_took
+        else:
+            before = time.time()
+            from attention_lvcsr_tpu.search.beam import \
+                CandidateNotFoundError
+            try:
+                outputs, search_costs = recognizer.beam_search(
+                    inputs, **search_kwargs)
+            except CandidateNotFoundError:
+                outputs, search_costs = [[]], [np.nan]
+            took = time.time() - before
 
         recognized = dataset.decode(outputs[0])
         recognized_text = dataset.pretty_print(outputs[0], example)

@@ -99,3 +99,26 @@ def test_show_data_in_process(setup):
     args = build_parser().parse_args(["show_data", str(d / "toy.yaml")])
     batch = driver.show_data(prepare_config(args))
     assert "recordings" in batch and "labels_mask" in batch
+
+
+@pytest.mark.slow
+def test_search_driver_batched_decode(setup, tmp_path):
+    """monitoring.search.decode_batch chunks the eval decode into
+    batched on-device searches; per-utterance CER stays in the same
+    ballpark as the one-by-one path (decode caps differ slightly, so
+    exact equality is not guaranteed)."""
+    d = setup
+    from attention_lvcsr_tpu.cli.run import build_parser, prepare_config
+    from attention_lvcsr_tpu.train import driver
+    args = build_parser().parse_args(
+        ["search", str(d / "toy.yaml")] + OVERRIDES
+        + ["monitoring.search.decode_batch", "4"])
+    config = prepare_config(args)
+    out = io.StringIO()
+    stats = driver.search(config, str(d / "model.zip"), part="valid",
+                          report=None,
+                          decoded_save=str(tmp_path / "dec_b"),
+                          print_to=out)
+    assert stats["num_examples"] > 0
+    assert os.path.exists(tmp_path / "dec_b")
+    assert open(tmp_path / "dec_b").read().strip() != ""
