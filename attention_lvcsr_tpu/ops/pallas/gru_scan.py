@@ -29,7 +29,9 @@ except Exception:  # pragma: no cover
 
 
 def _kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref, out_ref,
-            h_scratch, *, dim, masked):
+            h_scratch, *, dim, masked, chunk):
+    # ``chunk`` time steps per grid step (amortizes block fetch +
+    # dispatch overhead, which dominates a 1-step grid)
     f32 = jnp.float32
     t = pl.program_id(0)
 
@@ -38,24 +40,28 @@ def _kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref, out_ref,
         h_scratch[...] = h0_ref[0].astype(f32)
 
     h = h_scratch[...]                                   # (B, D) f32
-    gates = jax.nn.sigmoid(
-        jax.lax.dot_general(h, wsg_ref[:].astype(f32),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-        + g_ref[0].astype(f32))
-    update = gates[:, :dim]
-    reset = gates[:, dim:]
-    cand = jnp.tanh(
-        jax.lax.dot_general(h * reset, wss_ref[:].astype(f32),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-        + x_ref[0].astype(f32))
-    new_h = update * cand + (1.0 - update) * h
-    if masked:
-        m = m_ref[0].astype(f32).reshape(-1, 1)          # (B, 1)
-        new_h = m * new_h + (1.0 - m) * h
-    h_scratch[...] = new_h
-    out_ref[0] = new_h.astype(out_ref.dtype)
+    wsg = wsg_ref[:].astype(f32)
+    wss = wss_ref[:].astype(f32)
+    for j in range(chunk):
+        gates = jax.nn.sigmoid(
+            jax.lax.dot_general(h, wsg,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+            + g_ref[j].astype(f32))
+        update = gates[:, :dim]
+        reset = gates[:, dim:]
+        cand = jnp.tanh(
+            jax.lax.dot_general(h * reset, wss,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+            + x_ref[j].astype(f32))
+        new_h = update * cand + (1.0 - update) * h
+        if masked:
+            m = m_ref[j, 0].astype(f32).reshape(-1, 1)   # (B, 1)
+            new_h = m * new_h + (1.0 - m) * h
+        out_ref[j] = new_h.astype(out_ref.dtype)
+        h = new_h
+    h_scratch[...] = h
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -70,8 +76,18 @@ def gru_scan(x_proj, gate_proj, mask, h0, w_state, w_gates,
     masked = mask is not None
     if mask is None:
         mask = jnp.ones((T, B), x_proj.dtype)
+    C = min(8, T)
+    T_pad = -(-T // C) * C
 
-    kernel = functools.partial(_kernel, dim=D, masked=masked)
+    def pad(a):
+        if a.shape[0] == T_pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((T_pad - T,) + a.shape[1:], a.dtype)], axis=0)
+
+    x_proj, gate_proj, mask = pad(x_proj), pad(gate_proj), pad(mask)
+
+    kernel = functools.partial(_kernel, dim=D, masked=True, chunk=C)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -80,20 +96,22 @@ def gru_scan(x_proj, gate_proj, mask, h0, w_state, w_gates,
     else:
         scratch = [pltpu.VMEM((B, D), jnp.float32)] if _HAS_PLTPU else []
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T_pad // C,),
         in_specs=[
-            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0)),      # x
-            pl.BlockSpec((1, B, 2 * D), lambda t: (t, 0, 0)),  # gates
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),      # mask
+            pl.BlockSpec((C, B, D), lambda t: (t, 0, 0)),      # x
+            pl.BlockSpec((C, B, 2 * D), lambda t: (t, 0, 0)),  # gates
+            pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),      # mask
             pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),      # h0
             pl.BlockSpec((D, D), lambda t: (0, 0)),            # w_state
             pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),        # w_gates
         ],
-        out_specs=pl.BlockSpec((1, B, D), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, B, D), x_proj.dtype),
+        out_specs=pl.BlockSpec((C, B, D), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_pad, B, D), x_proj.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(x_proj, gate_proj, mask.reshape(T, 1, B), h0[None], w_state, w_gates)
+    )(x_proj, gate_proj, mask.reshape(T_pad, 1, B), h0[None], w_state,
+      w_gates)
+    return out[:T]

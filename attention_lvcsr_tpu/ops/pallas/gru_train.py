@@ -46,7 +46,11 @@ def _dot(a, b, contract=(1, 0)):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
-                out_ref, u_ref, r_ref, c_ref, h_scratch, *, dim):
+                out_ref, u_ref, r_ref, c_ref, h_scratch, *, dim,
+                chunk):
+    # ``chunk`` time steps per grid step: the per-step math is tiny, so
+    # grid-step (block fetch + dispatch) overhead dominates a 1-step
+    # grid; unrolling C steps inside amortizes it C-fold.
     f32 = jnp.float32
     t = pl.program_id(0)
 
@@ -55,20 +59,22 @@ def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
         h_scratch[...] = h0_ref[0].astype(f32)
 
     h = h_scratch[...]                                   # (B, D)
-    gates = jax.nn.sigmoid(
-        _dot(h, wsg_ref[:].astype(f32)) + g_ref[0].astype(f32))
-    update = gates[:, :dim]
-    reset = gates[:, dim:]
-    cand = jnp.tanh(_dot(h * reset, wss_ref[:].astype(f32))
-                    + x_ref[0].astype(f32))
-    new_h = update * cand + (1.0 - update) * h
-    m = m_ref[0].astype(f32).reshape(-1, 1)              # (B, 1)
-    new_h = m * new_h + (1.0 - m) * h
-    h_scratch[...] = new_h
-    out_ref[0] = new_h.astype(out_ref.dtype)
-    u_ref[0] = update.astype(u_ref.dtype)
-    r_ref[0] = reset.astype(r_ref.dtype)
-    c_ref[0] = cand.astype(c_ref.dtype)
+    wsg = wsg_ref[:].astype(f32)
+    wss = wss_ref[:].astype(f32)
+    for j in range(chunk):
+        gates = jax.nn.sigmoid(_dot(h, wsg) + g_ref[j].astype(f32))
+        update = gates[:, :dim]
+        reset = gates[:, dim:]
+        cand = jnp.tanh(_dot(h * reset, wss) + x_ref[j].astype(f32))
+        new_h = update * cand + (1.0 - update) * h
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)       # (B, 1)
+        new_h = m * new_h + (1.0 - m) * h
+        out_ref[j] = new_h.astype(out_ref.dtype)
+        u_ref[j] = update.astype(u_ref.dtype)
+        r_ref[j] = reset.astype(r_ref.dtype)
+        c_ref[j] = cand.astype(c_ref.dtype)
+        h = new_h
+    h_scratch[...] = h
 
 
 # ---------------------------------------------------------------------------
@@ -78,9 +84,9 @@ def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
 def _bwd_kernel(dout_ref, u_ref, r_ref, c_ref, hprev_ref, m_ref,
                 wss_ref, wsg_ref,
                 dxin_ref, dxgate_ref, dwss_ref, dwsg_ref, dh0_ref,
-                dh_scratch, *, dim, steps):
+                dh_scratch, *, dim, steps, chunk):
     f32 = jnp.float32
-    t = pl.program_id(0)           # 0.. T-1; actual time = T-1-t
+    t = pl.program_id(0)      # chunk index, reversed by the BlockSpecs
 
     @pl.when(t == 0)
     def _():
@@ -88,35 +94,41 @@ def _bwd_kernel(dout_ref, u_ref, r_ref, c_ref, hprev_ref, m_ref,
         dwss_ref[...] = jnp.zeros_like(dwss_ref)
         dwsg_ref[...] = jnp.zeros_like(dwsg_ref)
 
-    u = u_ref[0].astype(f32)
-    r = r_ref[0].astype(f32)
-    cand = c_ref[0].astype(f32)
-    h_prev = hprev_ref[0].astype(f32)
-    m = m_ref[0].astype(f32).reshape(-1, 1)
     wss = wss_ref[:].astype(f32)
     wsg = wsg_ref[:].astype(f32)
+    dwss = jnp.zeros_like(dwss_ref)
+    dwsg = jnp.zeros_like(dwsg_ref)
+    dh_prev = dh_scratch[...]
+    for j in reversed(range(chunk)):
+        u = u_ref[j].astype(f32)
+        r = r_ref[j].astype(f32)
+        cand = c_ref[j].astype(f32)
+        h_prev = hprev_ref[j].astype(f32)
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)
 
-    dh = dh_scratch[...] + dout_ref[0].astype(f32)       # (B, D)
-    draw = dh * m                  # grad into the unmasked new_h
-    dh_prev = dh * (1.0 - m)       # mask passthrough
+        dh = dh_prev + dout_ref[j].astype(f32)           # (B, D)
+        draw = dh * m              # grad into the unmasked new_h
+        dh_prev = dh * (1.0 - m)   # mask passthrough
 
-    du = draw * (cand - h_prev)
-    dcand = draw * u
-    dh_prev = dh_prev + draw * (1.0 - u)
+        du = draw * (cand - h_prev)
+        dcand = draw * u
+        dh_prev = dh_prev + draw * (1.0 - u)
 
-    da = dcand * (1.0 - cand * cand)                     # pre-tanh
-    dxin_ref[0] = da.astype(dxin_ref.dtype)
-    dhr = _dot(da, wss, contract=(1, 1))                 # @ wss.T
-    dwss_ref[...] += _dot(h_prev * r, da, contract=(0, 0))
-    dh_prev = dh_prev + dhr * r
-    dr = dhr * h_prev
+        da = dcand * (1.0 - cand * cand)                 # pre-tanh
+        dxin_ref[j] = da.astype(dxin_ref.dtype)
+        dhr = _dot(da, wss, contract=(1, 1))             # @ wss.T
+        dwss = dwss + _dot(h_prev * r, da, contract=(0, 0))
+        dh_prev = dh_prev + dhr * r
+        dr = dhr * h_prev
 
-    gates = jnp.concatenate([u, r], axis=1)
-    dg = jnp.concatenate([du, dr], axis=1) * gates * (1.0 - gates)
-    dxgate_ref[0] = dg.astype(dxgate_ref.dtype)
-    dh_prev = dh_prev + _dot(dg, wsg, contract=(1, 1))   # @ wsg.T
-    dwsg_ref[...] += _dot(h_prev, dg, contract=(0, 0))
+        gates = jnp.concatenate([u, r], axis=1)
+        dg = jnp.concatenate([du, dr], axis=1) * gates * (1.0 - gates)
+        dxgate_ref[j] = dg.astype(dxgate_ref.dtype)
+        dh_prev = dh_prev + _dot(dg, wsg, contract=(1, 1))
+        dwsg = dwsg + _dot(h_prev, dg, contract=(0, 0))
 
+    dwss_ref[...] += dwss
+    dwsg_ref[...] += dwsg
     dh_scratch[...] = dh_prev
 
     @pl.when(t == steps - 1)
@@ -136,59 +148,81 @@ def _gru_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
     return out
 
 
+CHUNK = 8        # time steps per grid step (amortizes dispatch)
+
+
+def _pad_time(arr, t_pad):
+    T = arr.shape[0]
+    if T == t_pad:
+        return arr
+    pad = jnp.zeros((t_pad - T,) + arr.shape[1:], arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
 def _gru_train_fwd(x_proj, gate_proj, mask, h0, w_state, w_gates,
                    interpret):
     T, B, D = x_proj.shape
-    kernel = functools.partial(_fwd_kernel, dim=D)
+    C = min(CHUNK, T)
+    T_pad = -(-T // C) * C       # padded steps have mask 0: state frozen
+    x_proj = _pad_time(x_proj, T_pad)
+    gate_proj = _pad_time(gate_proj, T_pad)
+    mask_p = _pad_time(mask, T_pad)
+    kernel = functools.partial(_fwd_kernel, dim=D, chunk=C)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0))
+    seq = lambda d: pl.BlockSpec((C, B, d), lambda t: (t, 0, 0))
     states, u, r, c = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T_pad // C,),
         in_specs=[
             seq(D),                                           # x
             seq(2 * D),                                       # gates
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),     # mask
+            pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),     # mask
             pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),     # h0
             pl.BlockSpec((D, D), lambda t: (0, 0)),
             pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),
         ],
         out_specs=(seq(D), seq(D), seq(D), seq(D)),
-        out_shape=tuple(jax.ShapeDtypeStruct((T, B, D), x_proj.dtype)
+        out_shape=tuple(jax.ShapeDtypeStruct((T_pad, B, D),
+                                             x_proj.dtype)
                         for _ in range(4)),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)]
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
-    )(x_proj, gate_proj, mask.reshape(T, 1, B), h0[None],
+    )(x_proj, gate_proj, mask_p.reshape(T_pad, 1, B), h0[None],
       w_state, w_gates)
     res = (states, u, r, c, mask, h0, w_state, w_gates)
-    return states, res
+    return states[:T], res
 
 
 def _gru_train_bwd(interpret, res, dstates):
     states, u, r, c, mask, h0, w_state, w_gates = res
-    T, B, D = states.shape
+    T_pad, B, D = states.shape   # residuals are already time-padded
+    T = mask.shape[0]
+    C = min(CHUNK, T)
     # h_{t-1} sequence: [h0, states[:-1]]
     hprev = jnp.concatenate([h0[None], states[:-1]], axis=0)
-    kernel = functools.partial(_bwd_kernel, dim=D, steps=T)
+    dstates = _pad_time(dstates, T_pad)
+    mask_p = _pad_time(mask, T_pad)
+    Tc = T_pad // C
+    kernel = functools.partial(_bwd_kernel, dim=D, steps=Tc, chunk=C)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    rev = lambda d: pl.BlockSpec((1, B, d), lambda t: (T - 1 - t, 0, 0))
+    rev = lambda d: pl.BlockSpec((C, B, d), lambda t: (Tc - 1 - t, 0, 0))
     f32 = jnp.float32
     dxin, dxgate, dwss, dwsg, dh0 = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Tc,),
         in_specs=[
             rev(D),                                           # dstates
             rev(D), rev(D), rev(D),                           # u, r, cand
             rev(D),                                           # h_prev
-            pl.BlockSpec((1, 1, B), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
             pl.BlockSpec((D, D), lambda t: (0, 0)),
             pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),
         ],
@@ -197,8 +231,8 @@ def _gru_train_bwd(interpret, res, dstates):
                    pl.BlockSpec((D, 2 * D), lambda t: (0, 0)),
                    pl.BlockSpec((B, D), lambda t: (0, 0))),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, D), states.dtype),
-            jax.ShapeDtypeStruct((T, B, 2 * D), states.dtype),
+            jax.ShapeDtypeStruct((T_pad, B, D), states.dtype),
+            jax.ShapeDtypeStruct((T_pad, B, 2 * D), states.dtype),
             jax.ShapeDtypeStruct((D, D), f32),
             jax.ShapeDtypeStruct((D, 2 * D), f32),
             jax.ShapeDtypeStruct((B, D), f32),
@@ -207,10 +241,10 @@ def _gru_train_bwd(interpret, res, dstates):
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
-    )(dstates, u, r, c, hprev, mask.reshape(T, 1, B),
+    )(dstates, u, r, c, hprev, mask_p.reshape(T_pad, 1, B),
       w_state, w_gates)
-    return (dxin.astype(states.dtype),
-            dxgate.astype(states.dtype),
+    return (dxin[:T].astype(states.dtype),
+            dxgate[:T].astype(states.dtype),
             jnp.zeros_like(mask),
             dh0.astype(h0.dtype),
             dwss.astype(w_state.dtype),

@@ -36,7 +36,7 @@ def _dot(a, b, contract=(1, 0)):
 
 def _fwd_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref, pcf_ref,
                 pco_ref, h_out, c_out, i_out, f_out, z_out, o_out,
-                h_sc, c_sc, *, dim):
+                h_sc, c_sc, *, dim, chunk):
     f32 = jnp.float32
     D = dim
     t = pl.program_id(0)
@@ -51,31 +51,34 @@ def _fwd_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref, pcf_ref,
     pci = pci_ref[:].astype(f32)              # (1, D) peepholes
     pcf = pcf_ref[:].astype(f32)
     pco = pco_ref[:].astype(f32)
-    acts = _dot(h, w_ref[:].astype(f32)) + x_ref[0].astype(f32)
-    i = jax.nn.sigmoid(acts[:, :D] + c * pci)
-    f = jax.nn.sigmoid(acts[:, D:2 * D] + c * pcf)
-    z = jnp.tanh(acts[:, 2 * D:3 * D])
-    new_c = f * c + i * z
-    o = jax.nn.sigmoid(acts[:, 3 * D:] + new_c * pco)
-    new_h = o * jnp.tanh(new_c)
-    m = m_ref[0].astype(f32).reshape(-1, 1)
-    new_h = m * new_h + (1.0 - m) * h
-    new_c = m * new_c + (1.0 - m) * c
-    h_sc[...] = new_h
-    c_sc[...] = new_c
-    h_out[0] = new_h.astype(h_out.dtype)
-    c_out[0] = new_c.astype(c_out.dtype)
-    i_out[0] = i.astype(i_out.dtype)
-    f_out[0] = f.astype(f_out.dtype)
-    z_out[0] = z.astype(z_out.dtype)
-    o_out[0] = o.astype(o_out.dtype)
+    w = w_ref[:].astype(f32)
+    for j in range(chunk):
+        acts = _dot(h, w) + x_ref[j].astype(f32)
+        i = jax.nn.sigmoid(acts[:, :D] + c * pci)
+        f = jax.nn.sigmoid(acts[:, D:2 * D] + c * pcf)
+        z = jnp.tanh(acts[:, 2 * D:3 * D])
+        new_c = f * c + i * z
+        o = jax.nn.sigmoid(acts[:, 3 * D:] + new_c * pco)
+        new_h = o * jnp.tanh(new_c)
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)
+        new_h = m * new_h + (1.0 - m) * h
+        new_c = m * new_c + (1.0 - m) * c
+        h_out[j] = new_h.astype(h_out.dtype)
+        c_out[j] = new_c.astype(c_out.dtype)
+        i_out[j] = i.astype(i_out.dtype)
+        f_out[j] = f.astype(f_out.dtype)
+        z_out[j] = z.astype(z_out.dtype)
+        o_out[j] = o.astype(o_out.dtype)
+        h, c = new_h, new_c
+    h_sc[...] = h
+    c_sc[...] = c
 
 
 def _bwd_kernel(dh_ref, dcseq_ref, i_ref, f_ref, z_ref, o_ref,
                 hprev_ref, cprev_ref, m_ref, w_ref,
                 pci_ref, pcf_ref, pco_ref,
                 dx_ref, dw_ref, dpci_ref, dpcf_ref, dpco_ref,
-                dh0_ref, dc0_ref, dh_sc, dc_sc, *, dim, steps):
+                dh0_ref, dc0_ref, dh_sc, dc_sc, *, dim, steps, chunk):
     f32 = jnp.float32
     D = dim
     t = pl.program_id(0)
@@ -89,51 +92,62 @@ def _bwd_kernel(dh_ref, dcseq_ref, i_ref, f_ref, z_ref, o_ref,
         dpcf_ref[...] = jnp.zeros_like(dpcf_ref)
         dpco_ref[...] = jnp.zeros_like(dpco_ref)
 
-    i = i_ref[0].astype(f32)
-    f = f_ref[0].astype(f32)
-    z = z_ref[0].astype(f32)
-    o = o_ref[0].astype(f32)
-    h_prev = hprev_ref[0].astype(f32)
-    c_prev = cprev_ref[0].astype(f32)
-    # the RAW (unmasked) new cell: recover from the stored (masked)
-    # value — where m==0 the stored value equals c_prev but the raw
-    # f*c+i*z is what o/tanh saw.  Recompute raw instead of storing it:
-    c_raw = f * c_prev + i * z
-    m = m_ref[0].astype(f32).reshape(-1, 1)
     pci = pci_ref[:].astype(f32)
     pcf = pcf_ref[:].astype(f32)
     pco = pco_ref[:].astype(f32)
     w = w_ref[:].astype(f32)
+    dw_acc = jnp.zeros_like(dw_ref)
+    dpci_acc = jnp.zeros_like(dpci_ref)
+    dpcf_acc = jnp.zeros_like(dpcf_ref)
+    dpco_acc = jnp.zeros_like(dpco_ref)
+    dh_prev = dh_sc[...]
+    dc_prev = dc_sc[...]
+    for j in reversed(range(chunk)):
+        i = i_ref[j].astype(f32)
+        f = f_ref[j].astype(f32)
+        z = z_ref[j].astype(f32)
+        o = o_ref[j].astype(f32)
+        h_prev = hprev_ref[j].astype(f32)
+        c_prev = cprev_ref[j].astype(f32)
+        c_raw = f * c_prev + i * z
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)
 
-    dh = dh_sc[...] + dh_ref[0].astype(f32)
-    dc = dc_sc[...] + dcseq_ref[0].astype(f32)
-    draw_h = dh * m
-    dh_keep = dh * (1.0 - m)
-    draw_c = dc * m
-    dc_keep = dc * (1.0 - m)
+        dh = dh_prev + dh_ref[j].astype(f32)
+        dc = dc_prev + dcseq_ref[j].astype(f32)
+        draw_h = dh * m
+        dh_keep = dh * (1.0 - m)
+        draw_c = dc * m
+        dc_keep = dc * (1.0 - m)
 
-    hc = jnp.tanh(c_raw)
-    do = draw_h * hc
-    dacts_o = do * o * (1.0 - o)
-    dcr = draw_h * o * (1.0 - hc * hc) + dacts_o * pco + draw_c
+        hc = jnp.tanh(c_raw)
+        do = draw_h * hc
+        dacts_o = do * o * (1.0 - o)
+        dcr = draw_h * o * (1.0 - hc * hc) + dacts_o * pco + draw_c
 
-    df = dcr * c_prev
-    dacts_f = df * f * (1.0 - f)
-    di = dcr * z
-    dacts_i = di * i * (1.0 - i)
-    dz = dcr * i
-    dacts_z = dz * (1.0 - z * z)
+        df = dcr * c_prev
+        dacts_f = df * f * (1.0 - f)
+        di = dcr * z
+        dacts_i = di * i * (1.0 - i)
+        dz = dcr * i
+        dacts_z = dz * (1.0 - z * z)
 
-    dc_prev = (dcr * f + dacts_f * pcf + dacts_i * pci + dc_keep)
-    dacts = jnp.concatenate([dacts_i, dacts_f, dacts_z, dacts_o],
-                            axis=1)                      # (B, 4D)
-    dx_ref[0] = dacts.astype(dx_ref.dtype)
-    dh_prev = dh_keep + _dot(dacts, w, contract=(1, 1))  # @ W.T
-    dw_ref[...] += _dot(h_prev, dacts, contract=(0, 0))
-    dpci_ref[...] += jnp.sum(dacts_i * c_prev, axis=0, keepdims=True)
-    dpcf_ref[...] += jnp.sum(dacts_f * c_prev, axis=0, keepdims=True)
-    dpco_ref[...] += jnp.sum(dacts_o * c_raw, axis=0, keepdims=True)
+        dc_prev = (dcr * f + dacts_f * pcf + dacts_i * pci + dc_keep)
+        dacts = jnp.concatenate([dacts_i, dacts_f, dacts_z, dacts_o],
+                                axis=1)                  # (B, 4D)
+        dx_ref[j] = dacts.astype(dx_ref.dtype)
+        dh_prev = dh_keep + _dot(dacts, w, contract=(1, 1))
+        dw_acc = dw_acc + _dot(h_prev, dacts, contract=(0, 0))
+        dpci_acc = dpci_acc + jnp.sum(dacts_i * c_prev, axis=0,
+                                      keepdims=True)
+        dpcf_acc = dpcf_acc + jnp.sum(dacts_f * c_prev, axis=0,
+                                      keepdims=True)
+        dpco_acc = dpco_acc + jnp.sum(dacts_o * c_raw, axis=0,
+                                      keepdims=True)
 
+    dw_ref[...] += dw_acc
+    dpci_ref[...] += dpci_acc
+    dpcf_ref[...] += dpcf_acc
+    dpco_ref[...] += dpco_acc
     dh_sc[...] = dh_prev
     dc_sc[...] = dc_prev
 
@@ -150,23 +164,38 @@ def _lstm_train(x_proj, mask, h0, c0, w_state, pci, pcf_pco, interpret):
     return out
 
 
+CHUNK = 8
+
+
+def _pad_time(arr, t_pad):
+    T = arr.shape[0]
+    if T == t_pad:
+        return arr
+    pad = jnp.zeros((t_pad - T,) + arr.shape[1:], arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
 def _lstm_train_fwd(x_proj, mask, h0, c0, w_state, pci, pcf_pco,
                     interpret):
     pcf, pco = pcf_pco
     T, B, D4 = x_proj.shape
     D = D4 // 4
-    kernel = functools.partial(_fwd_kernel, dim=D)
+    C = min(CHUNK, T)
+    T_pad = -(-T // C) * C
+    x_proj = _pad_time(x_proj, T_pad)
+    mask_p = _pad_time(mask, T_pad)
+    kernel = functools.partial(_fwd_kernel, dim=D, chunk=C)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0))
+    seq = lambda d: pl.BlockSpec((C, B, d), lambda t: (t, 0, 0))
     outs = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T_pad // C,),
         in_specs=[
             seq(4 * D),                                       # x
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),     # mask
+            pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),     # mask
             pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),     # h0
             pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),     # c0
             pl.BlockSpec((D, 4 * D), lambda t: (0, 0)),
@@ -175,44 +204,51 @@ def _lstm_train_fwd(x_proj, mask, h0, c0, w_state, pci, pcf_pco,
             pl.BlockSpec((1, D), lambda t: (0, 0)),           # pco
         ],
         out_specs=tuple(seq(D) for _ in range(6)),
-        out_shape=tuple(jax.ShapeDtypeStruct((T, B, D), x_proj.dtype)
+        out_shape=tuple(jax.ShapeDtypeStruct((T_pad, B, D),
+                                             x_proj.dtype)
                         for _ in range(6)),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)] * 2
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
-    )(x_proj, mask.reshape(T, 1, B), h0[None], c0[None], w_state,
+    )(x_proj, mask_p.reshape(T_pad, 1, B), h0[None], c0[None], w_state,
       pci.reshape(1, D), pcf.reshape(1, D), pco.reshape(1, D))
     hs, cs, i, f, z, o = outs
     res = (hs, cs, i, f, z, o, mask, h0, c0, w_state, pci, pcf, pco)
-    return (hs, cs), res
+    return (hs[:T], cs[:T]), res
 
 
 def _lstm_train_bwd(interpret, res, cts):
     dhs, dcs = cts
     hs, cs, i, f, z, o, mask, h0, c0, w_state, pci, pcf, pco = res
-    T, B, D = hs.shape
+    T_pad, B, D = hs.shape       # residuals are time-padded
+    T = mask.shape[0]
+    C = min(CHUNK, T)
+    Tc = T_pad // C
     if dhs is None:
-        dhs = jnp.zeros_like(hs)
+        dhs = jnp.zeros((T, B, D), hs.dtype)
     if dcs is None:
-        dcs = jnp.zeros_like(cs)
+        dcs = jnp.zeros((T, B, D), cs.dtype)
+    dhs = _pad_time(dhs, T_pad)
+    dcs = _pad_time(dcs, T_pad)
+    mask_p = _pad_time(mask, T_pad)
     hprev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
-    kernel = functools.partial(_bwd_kernel, dim=D, steps=T)
+    kernel = functools.partial(_bwd_kernel, dim=D, steps=Tc, chunk=C)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    rev = lambda d: pl.BlockSpec((1, B, d), lambda t: (T - 1 - t, 0, 0))
+    rev = lambda d: pl.BlockSpec((C, B, d), lambda t: (Tc - 1 - t, 0, 0))
     f32 = jnp.float32
     dx, dw, dpci, dpcf, dpco, dh0, dc0 = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Tc,),
         in_specs=[
             rev(D), rev(D),                               # dh, dc seq
             rev(D), rev(D), rev(D), rev(D),               # i f z o
             rev(D), rev(D),                               # hprev cprev
-            pl.BlockSpec((1, 1, B), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
             pl.BlockSpec((D, 4 * D), lambda t: (0, 0)),
             pl.BlockSpec((1, D), lambda t: (0, 0)),
             pl.BlockSpec((1, D), lambda t: (0, 0)),
@@ -226,7 +262,7 @@ def _lstm_train_bwd(interpret, res, cts):
                    pl.BlockSpec((B, D), lambda t: (0, 0)),
                    pl.BlockSpec((B, D), lambda t: (0, 0))),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, 4 * D), hs.dtype),
+            jax.ShapeDtypeStruct((T_pad, B, 4 * D), hs.dtype),
             jax.ShapeDtypeStruct((D, 4 * D), f32),
             jax.ShapeDtypeStruct((1, D), f32),
             jax.ShapeDtypeStruct((1, D), f32),
@@ -239,9 +275,9 @@ def _lstm_train_bwd(interpret, res, cts):
         interpret=interpret,
         **kwargs,
     )(dhs, dcs, i, f, z, o, hprev, cprev,
-      mask.reshape(T, 1, B), w_state, pci.reshape(1, D),
+      mask_p.reshape(T_pad, 1, B), w_state, pci.reshape(1, D),
       pcf.reshape(1, D), pco.reshape(1, D))
-    return (dx.astype(hs.dtype),
+    return (dx[:T].astype(hs.dtype),
             jnp.zeros_like(mask),
             dh0.astype(h0.dtype),
             dc0.astype(c0.dtype),

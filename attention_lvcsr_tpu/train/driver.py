@@ -55,7 +55,12 @@ PRIMARY_OBSERVABLES = (
 
 
 def _gradient_norm_is_nan(log):
-    value = log.current_row.get("total_gradient_norm", 0.0)
+    # reads the LAST RECORDED value: the loop converts monitors one
+    # batch late (train/loop.py delayed flush) so host and device
+    # pipeline; a NaN stops training one step after it appears
+    value = log.last_value("total_gradient_norm")
+    if value is None:
+        value = log.current_row.get("total_gradient_norm", 0.0)
     try:
         return math.isnan(float(value))
     except (TypeError, ValueError):

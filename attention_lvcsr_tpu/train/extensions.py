@@ -580,9 +580,14 @@ class NanGuard(TrainingExtension):
         self.fields = fields
 
     def after_batch(self, batch):
-        row = self.main_loop.log.current_row
+        # monitors land in the log one batch late (train/loop.py delayed
+        # flush keeps the device pipeline full), so check the latest
+        # recorded value: a NaN aborts one step after it appears
+        log = self.main_loop.log
         for name in self.fields:
-            value = row.get(name)
+            value = log.last_value(name)
+            if value is None:
+                value = log.current_row.get(name)
             if isinstance(value, float) and not math.isfinite(value):
                 raise FloatingPointError(
                     f"non-finite {name}={value} at iteration "

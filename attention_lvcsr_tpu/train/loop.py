@@ -126,6 +126,10 @@ class MainLoop:
                 traceback.print_exc()
         finally:
             try:
+                self._flush_pending_monitors()
+            except Exception:
+                traceback.print_exc()
+            try:
                 self._run_extensions("after_training")
             except Exception:
                 traceback.print_exc()
@@ -158,6 +162,7 @@ class MainLoop:
         finally:
             if self.profile_enabled:
                 self.profile.exit()
+        self._flush_pending_monitors()
         self.log.status["epoch_started"] = False
         self.log.status["epochs_done"] += 1
         self.log.status["_epoch_ends"].append(
@@ -172,10 +177,57 @@ class MainLoop:
         if self.profile_enabled:
             self.profile.exit()
         self.log.status["iterations_done"] += 1
-        row = self.log.current_row
-        for name, value in (monitors or {}).items():
-            row[name] = _to_python(value)
+        # One-step-DELAYED monitor conversion: converting this step's
+        # device scalars to host floats would block until the step
+        # finishes, serializing host and device (a fixed dispatch
+        # round-trip per step — measured ~2x throughput loss on the
+        # tunneled chip).  The PREVIOUS step's monitors are complete by
+        # now (this step was dispatched after them), so converting them
+        # costs a tiny D2H copy, not a pipeline stall.  Per-batch log
+        # readers (the NaN-gradient stop) therefore see values one
+        # batch late; epoch-boundary readers see everything (flush
+        # below).
+        self._flush_pending_monitors()
+        self._pending_monitors = (self.log.status["iterations_done"],
+                                  _pack_monitors(monitors))
         self._run_extensions("after_batch", batch)
+
+    def _flush_pending_monitors(self):
+        pending = getattr(self, "_pending_monitors", None)
+        if pending is None:
+            return
+        self._pending_monitors = None
+        t, (names, stacked, rest) = pending
+        if stacked is not None:
+            # ONE device-to-host transfer for all scalar monitors —
+            # per-scalar pulls each pay a full transfer round-trip
+            # (~25 ms on the tunneled chip: 30 monitors would cost more
+            # than the train step itself)
+            import numpy as np
+            values = np.asarray(stacked).tolist()
+            for name, value in zip(names, values):
+                self.log.record(t, name, float(value))
+        for name, value in rest.items():
+            self.log.record(t, name, _to_python(value))
+
+
+def _pack_monitors(monitors):
+    """Normalize monitors to (names, stacked_device_array, rest).
+
+    The algorithm packs on device inside its jitted step
+    (``train/algorithm.py PackedMonitors``) — NO eager device ops may
+    happen here: each one costs a dispatch round-trip per batch on a
+    tunneled chip.  Plain dicts (mock algorithms, host-side metrics)
+    pass through as ``rest``.
+    """
+    if monitors is None:
+        return (), None, {}
+    names = getattr(monitors, "names", None)
+    values = getattr(monitors, "values", None)
+    if names is not None and values is not None \
+            and not callable(values):
+        return names, values, {}
+    return (), None, dict(monitors)
 
 
 def _to_python(value):

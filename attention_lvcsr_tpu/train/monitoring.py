@@ -36,22 +36,47 @@ class AveragedTrainMonitoring(SimpleExtension):
         self.record_names = list(record_names)
         self.prefix = prefix
         self._acc: Dict[str, List[float]] = {}
+        self._last_time = 0          # last log row already accumulated
         kwargs.setdefault("every_n_batches", 10)
         super().__init__(**kwargs)
 
     def dispatch(self, callback_name, *args):
         if callback_name == "after_batch":
-            row = self.main_loop.log.current_row
-            for name in self.record_names:
-                value = row.get(name)
-                if value is not None and isinstance(value, (int, float,
-                                                            np.floating,
-                                                            np.integer)):
-                    self._acc.setdefault(name, []).append(float(value))
+            # read the PREVIOUS iteration's row: the loop converts
+            # device monitors one batch late (train/loop.py delayed
+            # flush) so reading the current row would find nothing —
+            # and forcing a flush here would stall the device pipeline
+            # every batch
+            log = self.main_loop.log
+            t_prev = log.status["iterations_done"] - 1
+            if t_prev > self._last_time:
+                row = log[t_prev]
+                for name in self.record_names:
+                    value = row.get(name)
+                    if value is not None and isinstance(
+                            value, (int, float, np.floating, np.integer)):
+                        self._acc.setdefault(name, []).append(
+                            float(value))
+                self._last_time = t_prev
         super().dispatch(callback_name, *args)
 
     def do(self, which_callback, *args):
-        row = self.main_loop.log.current_row
+        # close the window exactly on this batch: flush the pending
+        # (delayed) monitors — one device sync every N batches only —
+        # and fold the current row in
+        flush = getattr(self.main_loop, "_flush_pending_monitors", None)
+        if flush is not None:
+            flush()
+        log = self.main_loop.log
+        t = log.status["iterations_done"]
+        if t > self._last_time:
+            row = log.current_row
+            for name in self.record_names:
+                value = row.get(name)
+                if value is not None and isinstance(
+                        value, (int, float, np.floating, np.integer)):
+                    self._acc.setdefault(name, []).append(float(value))
+            self._last_time = t
         for name, values in self._acc.items():
             if values:
                 row[f"{self.prefix}_{name}"] = float(np.mean(values))

@@ -181,6 +181,18 @@ def bench_train(compute_dtype=None):
         float(monitors["train_cost"])
         times.append(time.time() - t0)
     med = statistics.median(times)
+
+    # PIPELINED throughput: N steps enqueued, one sync — what the real
+    # MainLoop achieves (monitor conversion is one step delayed,
+    # train/loop.py), excluding the per-call dispatch round-trip.
+    N = 20
+    t0 = time.time()
+    for _ in range(N):
+        params, opt_state, monitors = jitted(
+            params, opt_state, rng, inputs, inputs_mask, labels,
+            labels_mask)
+    float(monitors["train_cost"])
+    pipelined_wall = (time.time() - t0) / N
     out = {
         "utt_per_s": round(TRAIN_BATCH / med, 3),
         "realtime_factor": round(
@@ -188,6 +200,10 @@ def bench_train(compute_dtype=None):
         "wall_s_median": round(med, 4),
         "wall_s_min": round(min(times), 4),
         "wall_s_max": round(max(times), 4),
+        "pipelined_utt_per_s": round(TRAIN_BATCH / pipelined_wall, 3),
+        "pipelined_realtime_factor": round(
+            TRAIN_BATCH * FRAMES * FRAME_S / pipelined_wall, 1),
+        "pipelined_wall_s": round(pipelined_wall, 4),
         "batch": TRAIN_BATCH, "labels": LABELS,
     }
     if flops:

@@ -47,7 +47,9 @@ class _Algo:
 
 
 def test_nan_guard_raises():
-    loop = MainLoop(_Algo([1.0, float("nan")]),
+    # the guard sees monitors one batch late (delayed flush), so the
+    # NaN from batch 2 aborts during batch 3
+    loop = MainLoop(_Algo([1.0, float("nan"), 5.0]),
                     lambda: iter([{}, {}, {}]),
                     extensions=[NanGuard(), FinishAfter(after_n_epochs=1)])
     with pytest.raises(FloatingPointError):
