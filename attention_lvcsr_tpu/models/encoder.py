@@ -56,6 +56,39 @@ class Bidirectional(nn.Module):
                                           name="backward")
 
     def __call__(self, x, mask=None, pallas=None):
+        from attention_lvcsr_tpu.models.cells import GatedRecurrent
+        if pallas is not None and isinstance(self.forward.cell,
+                                            GatedRecurrent):
+            # BOTH directions in one fused kernel pair: each direction's
+            # recurrence is a latency chain of two small dependent
+            # matmuls, and interleaving the two independent chains
+            # overlaps their latencies (~1.9x over separate kernels)
+            from attention_lvcsr_tpu.ops.pallas.gru_train import \
+                gru_scan_train_bidir
+            B = x.shape[0]
+            x_rev = jnp.flip(x, axis=1)
+            mask_rev = (jnp.flip(mask, axis=1)
+                        if mask is not None else None)
+            sf = {n: p(x).transpose(1, 0, 2)
+                  for n, p in self.forward.fork.items()}
+            sb = {n: p(x_rev).transpose(1, 0, 2)
+                  for n, p in self.backward.fork.items()}
+            mf = mask.transpose(1, 0) if mask is not None else None
+            mb = (mask_rev.transpose(1, 0)
+                  if mask_rev is not None else None)
+            fwd_s, bwd_s = gru_scan_train_bidir(
+                sf["inputs"], sf["gate_inputs"], mf,
+                sb["inputs"], sb["gate_inputs"], mb,
+                self.forward.cell.initial_states(B)["states"],
+                self.backward.cell.initial_states(B)["states"],
+                self.forward.cell.state_to_state,
+                self.forward.cell.state_to_gates,
+                self.backward.cell.state_to_state,
+                self.backward.cell.state_to_gates,
+                interpret=pallas.endswith("interpret"))
+            fwd = fwd_s.transpose(1, 0, 2)
+            bwd = jnp.flip(bwd_s.transpose(1, 0, 2), axis=1)
+            return jnp.concatenate([fwd, bwd], axis=-1)
         fwd = self.forward(x, mask, pallas=pallas)
         x_rev = jnp.flip(x, axis=1)
         mask_rev = jnp.flip(mask, axis=1) if mask is not None else None

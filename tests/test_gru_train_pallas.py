@@ -117,3 +117,35 @@ def test_recognizer_cost_grads_match_through_train_kernel():
         assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4,
                         atol=1e-5,
                         err_msg=jax.tree_util.keystr(path))
+
+
+def test_bidirectional_fused_matches_xla():
+    """The fused both-directions kernel (Bidirectional fast path)
+    matches the XLA per-direction path in values and gradients."""
+    from attention_lvcsr_tpu.models.encoder import Bidirectional
+    Tn, Bn, F, Dn = 9, 3, 4, 5
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(Bn, Tn, F), jnp.float32)
+    mask = jnp.asarray((np.arange(Tn)[None] <
+                        np.array([[9], [7], [5]])).astype("f"))
+    layer = Bidirectional("gru", Dn)
+    params = layer.init(jax.random.PRNGKey(0), x, mask)
+
+    def loss(p, pallas):
+        out = layer.apply(p, x, mask, pallas=pallas)
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+        return (out * w * (mask[..., None])).sum()
+
+    v_ref, g_ref = jax.value_and_grad(loss)(params, None)
+    v_ker, g_ker = jax.value_and_grad(loss)(params, "train_interpret")
+    assert_allclose(float(v_ker), float(v_ref), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ker)[0],
+            jax.tree_util.tree_flatten_with_path(g_ref)[0]):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
+                        atol=2e-5, err_msg=jax.tree_util.keystr(pa))
+    # inference mode parity too
+    out_inf = layer.apply(params, x, mask, pallas="interpret")
+    out_ref = layer.apply(params, x, mask)
+    assert_allclose(np.asarray(out_inf), np.asarray(out_ref),
+                    rtol=1e-5, atol=1e-6)
