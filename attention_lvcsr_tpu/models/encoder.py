@@ -57,8 +57,12 @@ class Bidirectional(nn.Module):
 
     def __call__(self, x, mask=None, pallas=None):
         from attention_lvcsr_tpu.models.cells import GatedRecurrent
-        if pallas is not None and isinstance(self.forward.cell,
-                                            GatedRecurrent):
+        if pallas in ("train", "train_interpret") and isinstance(
+                self.forward.cell, GatedRecurrent):
+            # training only: the fused kernel streams gate/candidate
+            # residuals for the backward pass; inference uses the
+            # forward-only per-direction scan (no residual HBM traffic
+            # on the bandwidth-bound decode/serving path)
             # BOTH directions in one fused kernel pair: each direction's
             # recurrence is a latency chain of two small dependent
             # matmuls, and interleaving the two independent chains

@@ -57,6 +57,8 @@ def _kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref, out_ref,
             + x_ref[j].astype(f32))
         new_h = update * cand + (1.0 - update) * h
         if masked:
+            # unmasked calls skip the per-step mask load/multiply; any
+            # chunk-padding garbage beyond T is sliced off by the caller
             m = m_ref[j, 0].astype(f32).reshape(-1, 1)   # (B, 1)
             new_h = m * new_h + (1.0 - m) * h
         out_ref[j] = new_h.astype(out_ref.dtype)
@@ -76,18 +78,15 @@ def gru_scan(x_proj, gate_proj, mask, h0, w_state, w_gates,
     masked = mask is not None
     if mask is None:
         mask = jnp.ones((T, B), x_proj.dtype)
+    from attention_lvcsr_tpu.ops.pallas.common import pad_time
     C = min(8, T)
     T_pad = -(-T // C) * C
+    x_proj = pad_time(x_proj, T_pad)
+    gate_proj = pad_time(gate_proj, T_pad)
+    mask = pad_time(mask, T_pad)
 
-    def pad(a):
-        if a.shape[0] == T_pad:
-            return a
-        return jnp.concatenate(
-            [a, jnp.zeros((T_pad - T,) + a.shape[1:], a.dtype)], axis=0)
-
-    x_proj, gate_proj, mask = pad(x_proj), pad(gate_proj), pad(mask)
-
-    kernel = functools.partial(_kernel, dim=D, masked=True, chunk=C)
+    kernel = functools.partial(_kernel, dim=D, masked=masked,
+                               chunk=C)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -26,19 +26,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
-
-
-def _dot(a, b, contract=(1, 0)):
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((contract[0],), (contract[1],)),
-                                 ((), ())),
-        preferred_element_type=jnp.float32)
+from attention_lvcsr_tpu.ops.pallas.common import (HAS_PLTPU as
+                                                   _HAS_PLTPU)
+from attention_lvcsr_tpu.ops.pallas.common import dot as _dot
+from attention_lvcsr_tpu.ops.pallas.common import pad_time as _pad_time
+from attention_lvcsr_tpu.ops.pallas.common import pltpu
 
 
 # ---------------------------------------------------------------------------
@@ -150,13 +142,6 @@ def _gru_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
 
 CHUNK = 8        # time steps per grid step (amortizes dispatch)
 
-
-def _pad_time(arr, t_pad):
-    T = arr.shape[0]
-    if T == t_pad:
-        return arr
-    pad = jnp.zeros((t_pad - T,) + arr.shape[1:], arr.dtype)
-    return jnp.concatenate([arr, pad], axis=0)
 
 
 def _gru_train_fwd(x_proj, gate_proj, mask, h0, w_state, w_gates,

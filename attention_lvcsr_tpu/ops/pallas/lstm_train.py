@@ -19,19 +19,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
-
-
-def _dot(a, b, contract=(1, 0)):
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((contract[0],), (contract[1],)),
-                                 ((), ())),
-        preferred_element_type=jnp.float32)
+from attention_lvcsr_tpu.ops.pallas.common import (HAS_PLTPU as
+                                                   _HAS_PLTPU)
+from attention_lvcsr_tpu.ops.pallas.common import dot as _dot
+from attention_lvcsr_tpu.ops.pallas.common import pad_time as _pad_time
+from attention_lvcsr_tpu.ops.pallas.common import pltpu
 
 
 def _fwd_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref, pcf_ref,
@@ -166,13 +158,6 @@ def _lstm_train(x_proj, mask, h0, c0, w_state, pci, pcf_pco, interpret):
 
 CHUNK = 8
 
-
-def _pad_time(arr, t_pad):
-    T = arr.shape[0]
-    if T == t_pad:
-        return arr
-    pad = jnp.zeros((t_pad - T,) + arr.shape[1:], arr.dtype)
-    return jnp.concatenate([arr, pad], axis=0)
 
 
 def _lstm_train_fwd(x_proj, mask, h0, c0, w_state, pci, pcf_pco,

@@ -237,7 +237,11 @@ class BeamSearch:
         if env:
             return max(1, int(env))
         per_utt = self.beam_size * attended_len * match_dim * 4
-        return max(1, min(16, self.LOOP_VMEM_BUDGET // max(per_utt, 1)))
+        # the (L, L) toeplitz + cumsum tables are loaded whole,
+        # independent of the group size
+        fixed = 2 * attended_len * attended_len * 4
+        avail = max(self.LOOP_VMEM_BUDGET - fixed, 0)
+        return max(1, min(16, avail // max(per_utt, 1)))
 
     # ------------------------------------------------------------------
     def _loop_kernel_mode(self, num_frames=None):
@@ -254,14 +258,17 @@ class BeamSearch:
         if self.beam_size > 64:
             return None  # wide beams (reference decode.sh uses 200): XLA
         if num_frames is not None:
-            # estimated single-utterance match tensor must fit the budget
+            # the single-utterance match tensor PLUS the fixed (L, L)
+            # toeplitz/cumsum tables must fit the budget, else fall back
+            # to the XLA path instead of failing in Mosaic
             subsample = 1
             for s in (net.subsample or []):
                 subsample *= int(s)
             l_est = -(-int(num_frames) // max(subsample, 1))
             m_est = net.dim_matcher or net.dim_dec
-            if self.beam_size * l_est * m_est * 4 > \
-                    1.5 * self.LOOP_VMEM_BUDGET:
+            need = (self.beam_size * l_est * m_est * 4
+                    + 2 * l_est * l_est * 4)
+            if need > 1.5 * self.LOOP_VMEM_BUDGET:
                 return None
         crit = dict(net.criterion or {"name": "log_likelihood"})
         lm = dict(net.lm) if net.lm else {}

@@ -157,13 +157,19 @@ class Printing(SimpleExtension):
 
     def do(self, which_callback, *args):
         log = self.main_loop.log
+        t = log.status["iterations_done"]
+        if which_callback == "after_batch" and t > 1:
+            # monitors are flushed one batch late (train/loop.py
+            # delayed conversion): the newest COMPLETE row is t-1
+            t = t - 1
+        row = log[t]
         print("-" * 70)
-        print(f"Log records from iteration {log.status['iterations_done']}, "
+        print(f"Log records from iteration {t}, "
               f"epoch {log.status['epochs_done']}:")
-        for key in sorted(log.current_row):
+        for key in sorted(row):
             if self._hide and self._hide.match(key):
                 continue
-            value = log.current_row[key]
+            value = row[key]
             if isinstance(value, float):
                 value = f"{value:.6g}"
             print(f"\t {key}: {value}")
@@ -592,6 +598,13 @@ class NanGuard(TrainingExtension):
                 raise FloatingPointError(
                     f"non-finite {name}={value} at iteration "
                     f"{self.main_loop.log.status['iterations_done']}")
+
+    def after_training(self):
+        # the one-batch-late check would otherwise never inspect the
+        # FINAL batch's monitors (flushed in run()'s finally); raising
+        # here aborts the remaining after_training extensions — the
+        # final checkpoint is not written with non-finite parameters
+        self.after_batch(None)
 
 
 class JaxProfiler(TrainingExtension):

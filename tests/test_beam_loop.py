@@ -195,6 +195,6 @@ def test_group_autosizing():
     rec = _build("interpret")
     rec.init_beam_search(10)
     bs = rec._beam_search
-    assert bs._loop_group(200, 500) == 16
-    assert bs._loop_group(1600, 500) == 2   # long audio: smaller groups
-    assert bs._loop_group(400000, 500) == 1  # never below 1
+    assert bs._loop_group(200, 250) == 16
+    assert bs._loop_group(1600, 250) == 2   # long audio: smaller groups
+    assert bs._loop_group(400000, 250) == 1  # never below 1
