@@ -216,7 +216,10 @@ class RecognizerNet(nn.Module):
         return result
 
     def generate(self, inputs, inputs_mask, n_steps, rng):
-        encoded, encoded_mask, _ = self.encode(inputs, inputs_mask)
+        # generation is forward-only (exploration stops gradients), so
+        # use the fast encode path: no backward residuals
+        encoded, encoded_mask, _ = self.encode(inputs, inputs_mask,
+                                               fast=True)
         return self.generator.generate(encoded, encoded_mask, n_steps, rng)
 
     # -- decode-step interface (used by search.beam) ----------------------
