@@ -8,10 +8,10 @@ a push server that runs the data pipeline in its own process, and a
 process-based prefetcher for CPU-heavy pipelines (feature extraction,
 normalization) that would fight the host loop for the GIL.
 
-NOTE: workers are forked.  Fork the server/prefetcher BEFORE the first
-JAX computation in the parent (JAX is multithreaded; forking afterwards
-can deadlock the child).  Stream factories are closures, which rules out
-spawn-based contexts.
+Workers are SPAWNED, not forked: the parent runs a multithreaded JAX
+runtime, and forking a threaded process can deadlock the child (Python
+itself warns).  Stream factories are closures, so they cross the spawn
+boundary as cloudpickle blobs deserialized inside the fresh child.
 """
 from __future__ import annotations
 
@@ -66,41 +66,64 @@ def recv_batch(sock: socket.socket) -> Optional[Dict[str, np.ndarray]]:
     return batch
 
 
+def _dumps_factory(stream_factory) -> bytes:
+    import cloudpickle
+    return cloudpickle.dumps(stream_factory)
+
+
+def _serve_child(factory_blob: bytes, host: str, requested_port: int,
+                 epochs: Optional[int], port_pipe):
+    """Spawn target: bind, report the port, serve batches."""
+    import cloudpickle
+    stream_factory = cloudpickle.loads(factory_blob)
+    listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    listener.bind((host, requested_port))
+    listener.listen(1)
+    port_pipe.send(listener.getsockname()[1])
+    port_pipe.close()
+    served = 0
+    try:
+        while epochs is None or served < epochs:
+            conn, _ = listener.accept()
+            try:
+                for batch in stream_factory():
+                    send_batch(conn, batch)
+                conn.sendall(_MAGIC + struct.pack("<QQ", 0, 0))
+                served += 1
+            except (BrokenPipeError, ConnectionError):
+                pass
+            finally:
+                conn.close()
+    finally:
+        listener.close()
+
+
 def start_server(stream_factory: Callable[[], Iterator], port: int = 0,
                  host: str = "127.0.0.1", epochs: Optional[int] = None):
     """Serve batches to one consumer; returns (process, port).
 
-    The pipeline runs inside a separate process (fuel-server role); each
-    connected client receives batches until the stream ends, then an
-    empty end-marker; with ``epochs=None`` the stream restarts per
-    connection indefinitely.
+    The pipeline runs inside a separate spawned process (fuel-server
+    role); each connected client receives batches until the stream ends,
+    then an empty end-marker; with ``epochs=None`` the stream restarts
+    per connection indefinitely.  The child owns the listening socket
+    (spawned children inherit no fds) and reports the bound port back
+    over a pipe.
     """
-    listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    listener.bind((host, port))
-    listener.listen(1)
-    actual_port = listener.getsockname()[1]
-
-    def serve():
-        served = 0
-        try:
-            while epochs is None or served < epochs:
-                conn, _ = listener.accept()
-                try:
-                    for batch in stream_factory():
-                        send_batch(conn, batch)
-                    conn.sendall(_MAGIC + struct.pack("<QQ", 0, 0))
-                    served += 1
-                except (BrokenPipeError, ConnectionError):
-                    pass
-                finally:
-                    conn.close()
-        finally:
-            listener.close()
-
-    proc = mp.get_context("fork").Process(target=serve, daemon=True)
+    ctx = mp.get_context("spawn")
+    recv_end, send_end = ctx.Pipe(duplex=False)
+    proc = ctx.Process(
+        target=_serve_child,
+        args=(_dumps_factory(stream_factory), host, port, epochs,
+              send_end),
+        daemon=True)
     proc.start()
-    listener.close()  # parent's copy
+    send_end.close()  # parent's copy
+    if not recv_end.poll(60):
+        proc.terminate()
+        raise RuntimeError("data server child did not report its port")
+    actual_port = recv_end.recv()
+    recv_end.close()
     return proc, actual_port
 
 
@@ -123,33 +146,43 @@ class ServerDataStream:
             sock.close()
 
 
+_MPS_DONE = "__done__"
+_MPS_ERROR = "__error__"
+
+
+def _prefetch_child(factory_blob: bytes, queue):
+    """Spawn target for MultiProcessStream."""
+    import cloudpickle
+    factory = cloudpickle.loads(factory_blob)
+    try:
+        for batch in factory():
+            queue.put(batch)
+        queue.put(_MPS_DONE)
+    except Exception as exc:  # pragma: no cover
+        queue.put((_MPS_ERROR, repr(exc)))
+
+
 class MultiProcessStream:
     """Process-based prefetch of a stream factory (fuel MultiProcessing).
 
     Unlike :class:`attention_lvcsr_tpu.data.pipeline.Prefetcher` (thread),
-    the pipeline runs in a forked process — right for CPU-bound pipelines.
+    the pipeline runs in a spawned process — right for CPU-bound
+    pipelines.
     """
-    _DONE = "__done__"
-    _ERROR = "__error__"
+    _DONE = _MPS_DONE
+    _ERROR = _MPS_ERROR
 
     def __init__(self, stream_factory: Callable[[], Iterator], depth=4):
         self.stream_factory = stream_factory
         self.depth = depth
 
     def __iter__(self):
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context("spawn")
         queue = ctx.Queue(maxsize=self.depth)
-        factory = self.stream_factory
-
-        def worker():
-            try:
-                for batch in factory():
-                    queue.put(batch)
-                queue.put(MultiProcessStream._DONE)
-            except Exception as exc:  # pragma: no cover
-                queue.put((MultiProcessStream._ERROR, repr(exc)))
-
-        proc = ctx.Process(target=worker, daemon=True)
+        proc = ctx.Process(
+            target=_prefetch_child,
+            args=(_dumps_factory(self.stream_factory), queue),
+            daemon=True)
         proc.start()
         try:
             while True:

@@ -29,12 +29,13 @@ import numpy as np
 from flax import linen as nn
 
 from attention_lvcsr_tpu.ops.fst import (Fst, NOT_STATE, PackedFst,
-                                         pack_fst, read_fst_text,
+                                         PackedFstCSR, load_packed,
+                                         pack_fst_auto, read_fst_text,
                                          read_symbols)
 
 # host-side registry: module fields must stay hashable, so modules carry a
 # string key and the packed numpy tables are looked up at init time.
-_PACKED_REGISTRY: Dict[str, PackedFst] = {}
+_PACKED_REGISTRY: Dict[str, Any] = {}
 
 
 def register_packed_fst(key: str, packed: PackedFst):
@@ -58,27 +59,72 @@ class FSTLanguageModel(nn.Module):
 
     state_names = ("states", "weights", "add")
 
+    @property
+    def is_csr(self):
+        return isinstance(_PACKED_REGISTRY[self.fst_key], PackedFstCSR)
+
     def setup(self):
         packed = _PACKED_REGISTRY[self.fst_key]
 
         def init_tables():
-            return {
+            common = {
                 "next_state": jnp.asarray(packed.next_state),
                 "next_weight": jnp.asarray(packed.next_weight),
                 "total_weight": jnp.asarray(packed.total_weight),
                 "start_states": jnp.asarray(packed.start_states),
                 "start_weights": jnp.asarray(packed.start_weights),
             }
+            if isinstance(packed, PackedFstCSR):
+                # sorted (state * V + symbol) keys for on-device binary
+                # search; int32 is enough for any graph whose key space
+                # fits the flat index (guarded at pack time here)
+                if packed.num_states * packed.num_symbols >= 2 ** 31:
+                    raise ValueError(
+                        "CSR FST key space exceeds int32; this graph "
+                        "needs jax_enable_x64")
+                common["keys"] = jnp.asarray(packed.keys, jnp.int32)
+            return common
 
         self.tables = self.variable("fst", "tables", init_tables)
+
+    # -- table lookups (dense gather vs CSR binary search) --------------
+    def _lookup_total(self, states):
+        """``total_weight[s, :]`` rows for the live set -> (B, M, V),
+        INF_COST where (state, symbol) has no transition."""
+        t = self.tables.value
+        idx = jnp.maximum(states, 0)
+        if not self.is_csr:
+            return t["total_weight"][idx]
+        V = self.num_symbols
+        q = idx[..., None] * V + jnp.arange(V, dtype=jnp.int32)
+        i = jnp.searchsorted(t["keys"], q)
+        i = jnp.minimum(i, t["keys"].shape[0] - 1)
+        found = t["keys"][i] == q
+        from attention_lvcsr_tpu.ops.fst import INF_COST
+        return jnp.where(found, t["total_weight"][i], INF_COST)
+
+    def _lookup_next(self, states, symbols):
+        """Closed successor rows for (state, consumed symbol):
+        (ns, nw) each (B, M, K), NOT_STATE / INF_COST padded."""
+        t = self.tables.value
+        idx = jnp.maximum(states, 0)
+        if not self.is_csr:
+            return (t["next_state"][idx, symbols[:, None]],
+                    t["next_weight"][idx, symbols[:, None]])
+        q = idx * self.num_symbols + symbols[:, None]
+        i = jnp.searchsorted(t["keys"], q)
+        i = jnp.minimum(i, t["keys"].shape[0] - 1)
+        found = (t["keys"][i] == q)[..., None]
+        from attention_lvcsr_tpu.ops.fst import INF_COST
+        ns = jnp.where(found, t["next_state"][i], NOT_STATE)
+        nw = jnp.where(found, t["next_weight"][i], INF_COST)
+        return ns, nw
 
     # ------------------------------------------------------------------
     def _costs(self, states, weights):
         """FSTCostsOp: per-symbol transition costs (B, V)."""
-        t = self.tables.value
         valid = states != NOT_STATE
-        idx = jnp.maximum(states, 0)
-        tw = t["total_weight"][idx]                  # (B, M, V)
+        tw = self._lookup_total(states)              # (B, M, V)
         nxt_total = _neg_logsumexp_neg(
             weights[..., None] + tw, axis=1, valid=valid[..., None])
         total = _neg_logsumexp_neg(weights, axis=1, valid=valid)
@@ -104,9 +150,8 @@ class FSTLanguageModel(nn.Module):
         K = t["next_state"].shape[-1]
 
         valid = states != NOT_STATE
-        idx = jnp.maximum(states, 0)
-        ns = t["next_state"][idx, symbols[:, None]]            # (B, M, K)
-        nw = weights[..., None] + t["next_weight"][idx, symbols[:, None]]
+        ns, nw = self._lookup_next(states, symbols)            # (B, M, K)
+        nw = weights[..., None] + nw
         cand_valid = valid[..., None] & (ns != NOT_STATE)
         ns = jnp.where(cand_valid, ns, NOT_STATE).reshape(B, M * K)
         nw = jnp.where(cand_valid, nw, jnp.inf).reshape(B, M * K)
@@ -179,11 +224,7 @@ def make_language_model(lm_conf: Mapping[str, Any],
     key = f"{path}|{no_transition_cost}|{max_states}"
     if key not in _PACKED_REGISTRY:
         if path.endswith(".npz"):
-            data = np.load(path)
-            packed = PackedFst(
-                data["next_state"], data["next_weight"],
-                data["total_weight"], data["start_states"],
-                data["start_weights"], no_transition_cost, max_states)
+            packed = load_packed(path, no_transition_cost, max_states)
         else:
             syms_path = path + ".syms"
             isyms = (read_symbols(syms_path)
@@ -197,13 +238,16 @@ def make_language_model(lm_conf: Mapping[str, Any],
                     f"network alphabet ({len(nn_char_map)})")
             remap = {nn_char_map[ch]: code
                      for ch, code in fst_char_map.items()}
-            packed = pack_fst(
+            packed = pack_fst_auto(
                 fst, remap, num_nn_symbols=max(nn_char_map.values()) + 1,
                 max_states=max_states,
                 no_transition_cost=no_transition_cost)
         register_packed_fst(key, packed)
     packed = _PACKED_REGISTRY[key]
+    num_symbols = (packed.num_symbols
+                   if isinstance(packed, PackedFstCSR)
+                   else packed.total_weight.shape[1])
     return FSTLanguageModel(
-        fst_key=key, num_symbols=packed.total_weight.shape[1],
+        fst_key=key, num_symbols=num_symbols,
         max_states=max_states, max_arcs=packed.next_state.shape[-1],
         no_transition_cost=no_transition_cost, name=name)

@@ -388,8 +388,74 @@ def dict_char_lm_fst(words: Iterable[str], char_symbols: Dict[str, int],
 
 
 # ---------------------------------------------------------------------------
-# Dense packing for the on-device runtime
+# Packing for the on-device runtime (dense tables / CSR lookup tables)
 # ---------------------------------------------------------------------------
+
+def all_closures(fst: Fst) -> List[Dict[int, float]]:
+    """Epsilon closures (identity included) of EVERY state at once.
+
+    One reverse-topological DP over the epsilon DAG —
+    ``closure(s) = {s: 0} + sum over eps arcs (s->u, w) of
+    w + closure(u)`` with log-semiring combination — instead of a BFS per
+    state, which is quadratic on backoff-chain automata (an n-gram LM's
+    epsilon skeleton is exactly such a chain).  Raises on epsilon cycles
+    like :meth:`Fst.expand`.
+    """
+    S = fst.num_states
+    eps: List[List[Tuple[int, float]]] = [[] for _ in range(S)]
+    indeg = [0] * S
+    for s in range(S):
+        for a in fst.state_arcs(s):
+            if a.ilabel == EPSILON:
+                eps[s].append((a.nextstate, a.weight))
+                indeg[a.nextstate] += 1
+    ready = deque(s for s in range(S) if indeg[s] == 0)
+    order = []
+    while ready:
+        s = ready.popleft()
+        order.append(s)
+        for u, _ in eps[s]:
+            indeg[u] -= 1
+            if indeg[u] == 0:
+                ready.append(u)
+    if len(order) != S:
+        raise ValueError("epsilon cycle in FST; cannot expand")
+    closures: List[Optional[Dict[int, float]]] = [None] * S
+    for s in reversed(order):
+        c: Dict[int, float] = {s: 0.0}
+        for u, w in eps[s]:
+            for t, wt in closures[u].items():  # type: ignore[union-attr]
+                prev = c.get(t)
+                nw = w + wt
+                c[t] = nw if prev is None else combine_weights([prev, nw])
+        closures[s] = c
+    return closures  # type: ignore[return-value]
+
+
+def _closed_successors(fst: Fst, closures, remap_table: Dict[int, int]):
+    """Iterate ``(state, nn_symbol) -> sorted [(succ, weight), ...]`` for
+    every pair that HAS at least one closed successor (sparse: only
+    symbols with arcs are visited)."""
+    by_label: Dict[int, List[int]] = defaultdict(list)
+    for v, lab in remap_table.items():
+        if lab is not None:
+            by_label[lab].append(v)
+    for s in range(fst.num_states):
+        arcs_by_label: Dict[int, List[Arc]] = defaultdict(list)
+        for a in fst.state_arcs(s):
+            if a.ilabel != EPSILON and a.ilabel in by_label:
+                arcs_by_label[a.ilabel].append(a)
+        for ilabel, arcs in arcs_by_label.items():
+            merged: Dict[int, List[float]] = defaultdict(list)
+            for a in arcs:
+                for u, cw in closures[a.nextstate].items():
+                    merged[u].append(a.weight + cw)
+            lst = sorted(((u, combine_weights(ws))
+                          for u, ws in merged.items()),
+                         key=lambda t: t[1])
+            for v in by_label[ilabel]:
+                yield s, v, lst
+
 
 @dataclass
 class PackedFst:
@@ -411,6 +477,50 @@ class PackedFst:
     max_states: int
 
 
+@dataclass
+class PackedFstCSR:
+    """Sparse epsilon-closed transition tables for production-size graphs.
+
+    A dense ``(S, V, K)`` layout is quadratic in alphabet coverage and
+    cannot hold a real trigram ``LG_pushed`` (~1e6 states -> multi-GB
+    tables); here only the ``(state, symbol)`` pairs that HAVE a
+    transition are stored, sorted by key for on-device binary search
+    (``jnp.searchsorted``, the XLA-native sparse lookup):
+
+    ``keys``: (P,) int64 sorted, ``state * num_symbols + nn_symbol``;
+    ``next_state``/``next_weight``: (P, K) closed successor rows (best-K
+    by weight, NOT_STATE / INF_COST padded);
+    ``total_weight``: (P,) log-sum over all closed successors;
+    ``start_states``/``start_weights``: (max_states,) closed start set.
+    """
+    keys: np.ndarray
+    next_state: np.ndarray
+    next_weight: np.ndarray
+    total_weight: np.ndarray
+    start_states: np.ndarray
+    start_weights: np.ndarray
+    no_transition_cost: float
+    max_states: int
+    num_symbols: int
+    num_states: int
+
+    @property
+    def nbytes(self):
+        return (self.keys.nbytes + self.next_state.nbytes
+                + self.next_weight.nbytes + self.total_weight.nbytes)
+
+
+def _pack_start(fst: Fst, max_states: int):
+    start = fst.expand({fst.start: 0.0})
+    start_items = sorted(start.items(), key=lambda t: t[1])[:max_states]
+    start_states = np.full((max_states,), NOT_STATE, np.int32)
+    start_weights = np.zeros((max_states,), np.float32)
+    for i, (s, w) in enumerate(start_items):
+        start_states[i] = s
+        start_weights[i] = w
+    return start_states, start_weights
+
+
 def pack_fst(fst: Fst, remap_table: Dict[int, int], num_nn_symbols: int,
              max_states: int = MAX_STATES, max_arcs: Optional[int] = None,
              no_transition_cost: float = 1e12) -> PackedFst:
@@ -421,55 +531,111 @@ def pack_fst(fst: Fst, remap_table: Dict[int, int], num_nn_symbols: int,
     """
     S = fst.num_states
     V = num_nn_symbols
+    closures = all_closures(fst)
 
-    # epsilon closure per state (identity included)
-    closures: List[Dict[int, float]] = [
-        fst.expand({s: 0.0}) for s in range(S)]
-
-    succ: List[List[List[Tuple[int, float]]]] = \
-        [[[] for _ in range(V)] for _ in range(S)]
-    for s in range(S):
-        arcs_by_label: Dict[int, List[Arc]] = defaultdict(list)
-        for a in fst.state_arcs(s):
-            arcs_by_label[a.ilabel].append(a)
-        for v in range(V):
-            ilabel = remap_table.get(v)
-            if ilabel is None:
-                continue
-            merged: Dict[int, List[float]] = defaultdict(list)
-            for a in arcs_by_label.get(ilabel, []):
-                for u, cw in closures[a.nextstate].items():
-                    merged[u].append(a.weight + cw)
-            succ[s][v] = sorted(
-                ((u, combine_weights(ws)) for u, ws in merged.items()),
-                key=lambda t: t[1])
-
-    K = max_arcs or max(
-        (len(lst) for row in succ for lst in row), default=1) or 1
+    pairs = [(s, v, lst) for s, v, lst in
+             _closed_successors(fst, closures, remap_table) if lst]
+    K = max_arcs or max((len(lst) for _, _, lst in pairs), default=1) or 1
     next_state = np.full((S, V, K), NOT_STATE, np.int32)
     next_weight = np.full((S, V, K), INF_COST, np.float32)
     total_weight = np.full((S, V), INF_COST, np.float32)
-    for s in range(S):
-        for v in range(V):
-            lst = succ[s][v]
-            if not lst:
-                continue
-            total_weight[s, v] = combine_weights([w for _, w in lst])
-            for k, (u, w) in enumerate(lst[:K]):
-                next_state[s, v, k] = u
-                next_weight[s, v, k] = w
+    for s, v, lst in pairs:
+        total_weight[s, v] = combine_weights([w for _, w in lst])
+        for k, (u, w) in enumerate(lst[:K]):
+            next_state[s, v, k] = u
+            next_weight[s, v, k] = w
 
-    start = fst.expand({fst.start: 0.0})
-    start_items = sorted(start.items(), key=lambda t: t[1])[:max_states]
-    start_states = np.full((max_states,), NOT_STATE, np.int32)
-    start_weights = np.zeros((max_states,), np.float32)
-    for i, (s, w) in enumerate(start_items):
-        start_states[i] = s
-        start_weights[i] = w
-
+    start_states, start_weights = _pack_start(fst, max_states)
     return PackedFst(next_state, next_weight, total_weight,
                      start_states, start_weights,
                      float(no_transition_cost), max_states)
+
+
+def pack_fst_csr(fst: Fst, remap_table: Dict[int, int],
+                 num_nn_symbols: int, max_states: int = MAX_STATES,
+                 max_arcs: Optional[int] = None,
+                 no_transition_cost: float = 1e12) -> PackedFstCSR:
+    """Sparse packing: same closed-successor semantics as :func:`pack_fst`
+    but storing only present ``(state, symbol)`` pairs — linear in arc
+    count, so arbitrary-size LG graphs pack (the reference's host pyfst
+    traversal handles arbitrary sizes too, lvsr/ops.py:124-233)."""
+    S = fst.num_states
+    V = num_nn_symbols
+    closures = all_closures(fst)
+
+    pairs = [(s, v, lst) for s, v, lst in
+             _closed_successors(fst, closures, remap_table) if lst]
+    pairs.sort(key=lambda t: (t[0], t[1]))
+    P = len(pairs)
+    K = max_arcs or max((len(lst) for _, _, lst in pairs), default=1) or 1
+    keys = np.empty((P,), np.int64)
+    next_state = np.full((P, K), NOT_STATE, np.int32)
+    next_weight = np.full((P, K), INF_COST, np.float32)
+    total_weight = np.full((P,), INF_COST, np.float32)
+    for i, (s, v, lst) in enumerate(pairs):
+        keys[i] = s * V + v
+        total_weight[i] = combine_weights([w for _, w in lst])
+        for k, (u, w) in enumerate(lst[:K]):
+            next_state[i, k] = u
+            next_weight[i, k] = w
+
+    start_states, start_weights = _pack_start(fst, max_states)
+    return PackedFstCSR(keys, next_state, next_weight, total_weight,
+                        start_states, start_weights,
+                        float(no_transition_cost), max_states, V, S)
+
+
+# dense tables beyond this many (S * V) cells auto-switch to CSR
+DENSE_PACK_CELL_LIMIT = 2_000_000
+
+
+def pack_fst_auto(fst: Fst, remap_table: Dict[int, int],
+                  num_nn_symbols: int, max_states: int = MAX_STATES,
+                  max_arcs: Optional[int] = None,
+                  no_transition_cost: float = 1e12):
+    """Dense tables for small graphs (fastest device lookup, and the
+    whole-loop decode kernel can take them to VMEM); CSR beyond
+    :data:`DENSE_PACK_CELL_LIMIT` cells."""
+    if fst.num_states * num_nn_symbols > DENSE_PACK_CELL_LIMIT:
+        return pack_fst_csr(fst, remap_table, num_nn_symbols,
+                            max_states=max_states, max_arcs=max_arcs,
+                            no_transition_cost=no_transition_cost)
+    return pack_fst(fst, remap_table, num_nn_symbols,
+                    max_states=max_states, max_arcs=max_arcs,
+                    no_transition_cost=no_transition_cost)
+
+
+def save_packed(path: str, packed):
+    """Serialize a packed FST (dense or CSR) to ``.npz``."""
+    common = dict(next_state=packed.next_state,
+                  next_weight=packed.next_weight,
+                  total_weight=packed.total_weight,
+                  start_states=packed.start_states,
+                  start_weights=packed.start_weights)
+    if isinstance(packed, PackedFstCSR):
+        np.savez(path, format=np.asarray("csr"), keys=packed.keys,
+                 num_symbols=np.asarray(packed.num_symbols),
+                 num_states=np.asarray(packed.num_states), **common)
+    else:
+        np.savez(path, format=np.asarray("dense"), **common)
+
+
+def load_packed(path: str, no_transition_cost: float = 1e12,
+                max_states: int = MAX_STATES):
+    """Load a packed FST written by :func:`save_packed` (legacy archives
+    without a ``format`` marker are dense)."""
+    data = np.load(path)
+    fmt = str(data["format"]) if "format" in data.files else "dense"
+    if fmt == "csr":
+        return PackedFstCSR(
+            data["keys"], data["next_state"], data["next_weight"],
+            data["total_weight"], data["start_states"],
+            data["start_weights"], no_transition_cost, max_states,
+            int(data["num_symbols"]), int(data["num_states"]))
+    return PackedFst(
+        data["next_state"], data["next_weight"], data["total_weight"],
+        data["start_states"], data["start_weights"],
+        no_transition_cost, max_states)
 
 
 def host_costs(fst: Fst, remap_table: Dict[int, int], num_nn_symbols: int,

@@ -168,13 +168,14 @@ def build_decoding_graph(arpa, net_chars: Dict[str, int],
     lg = FA.minimize_encoded(lg)
     lg_pushed = FA.rm_epsilon(FA.push_weights(lg))
 
-    # --- dense device tables: nn symbol id -> chars.txt label
+    # --- device tables: nn symbol id -> chars.txt label (dense for small
+    # graphs, CSR beyond the dense cell budget — production trigram LGs)
     remap = {nn_id: chars[ch] for ch, nn_id in net_chars.items()
              if ch in chars}
-    packed = F.pack_fst(lg_pushed, remap,
-                        num_nn_symbols=max(net_chars.values()) + 1,
-                        max_states=max_states,
-                        no_transition_cost=no_transition_cost)
+    packed = F.pack_fst_auto(lg_pushed, remap,
+                             num_nn_symbols=max(net_chars.values()) + 1,
+                             max_states=max_states,
+                             no_transition_cost=no_transition_cost)
 
     result = {
         "chars": chars, "chars_disambig": chars_disambig, "words": words,
@@ -207,10 +208,5 @@ def build_decoding_graph(arpa, net_chars: Dict[str, int],
             F.write_fst_text(f_obj, path(name.replace(".fst.txt",
                                                       "_withsyms.fst.txt")),
                              isyms=chars, osyms=words)
-        np.savez(path("LG_pushed.npz"),
-                 next_state=packed.next_state,
-                 next_weight=packed.next_weight,
-                 total_weight=packed.total_weight,
-                 start_states=packed.start_states,
-                 start_weights=packed.start_weights)
+        F.save_packed(path("LG_pushed.npz"), packed)
     return result

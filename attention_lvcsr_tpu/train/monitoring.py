@@ -69,8 +69,10 @@ class AveragedTrainMonitoring(SimpleExtension):
             flush()
         log = self.main_loop.log
         t = log.status["iterations_done"]
+        # row is written below even when no new iteration happened (a
+        # second trigger firing at the same t must not raise NameError)
+        row = log.current_row
         if t > self._last_time:
-            row = log.current_row
             for name in self.record_names:
                 value = row.get(name)
                 if value is not None and isinstance(

@@ -238,17 +238,14 @@ def build_optimizer(train_conf: dict, reg_conf: Optional[dict] = None):
             chain.append(adagrad_rule(train_conf.get("scale", 0.002)))
         else:
             raise ValueError(f"unknown training rule {name!r}")
-    # negative/zero disables (wsj_paper9 sets -1.; reference
-    # lvsr/main.py:491 tests `> 0`)
-    if reg_conf.get("max_norm", 0) and reg_conf["max_norm"] > 0:
-        chain.append(max_norm_constraint(
-            reg_conf["max_norm"],
-            exclude_lookup=reg_conf.get("max_norm_exclude_lookup", False)))
     # scale_schedule: [[step, factor], ...] — multiply the step by the
     # factor of the last boundary passed (the blocks
     # SharedVariableModifier role, blocks/extensions/training.py:5-46,
     # done the XLA way: the schedule is compiled into the update instead
-    # of mutated from the host mid-training).
+    # of mutated from the host mid-training).  It must run BEFORE the
+    # max-norm projection: the reference scales the learning rate before
+    # VariableClipping's column-norm constraint, so a factor > 1 must not
+    # re-scale an already-projected update past the norm bound.
     if train_conf.get("scale_schedule"):
         entries = sorted((int(s), float(f))
                          for s, f in train_conf["scale_schedule"])
@@ -262,6 +259,12 @@ def build_optimizer(train_conf: dict, reg_conf: Optional[dict] = None):
                   for (step, factor), prev in zip(
                       entries, [1.0] + [f for _, f in entries[:-1]])})
         chain.append(optax.scale_by_schedule(sched))
+    # negative/zero disables (wsj_paper9 sets -1.; reference
+    # lvsr/main.py:491 tests `> 0`)
+    if reg_conf.get("max_norm", 0) and reg_conf["max_norm"] > 0:
+        chain.append(max_norm_constraint(
+            reg_conf["max_norm"],
+            exclude_lookup=reg_conf.get("max_norm_exclude_lookup", False)))
     chain.append(remove_not_finite(0.0))
     if train_conf.get("burn_in_steps", 0):
         chain.append(burn_in(train_conf["burn_in_steps"]))

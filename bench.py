@@ -103,6 +103,7 @@ def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False):
         rng.randn(BATCH, FRAMES, 123), jnp.float32))
     mask = jax.device_put(jnp.ones((BATCH, FRAMES), jnp.float32))
     jax.block_until_ready(inputs)
+    prior_no_loop = os.environ.get("LVSR_NO_LOOP_KERNEL")
     if no_loop_kernel:
         os.environ["LVSR_NO_LOOP_KERNEL"] = "1"
     try:
@@ -111,7 +112,10 @@ def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False):
         med, lo, hi = _timed(
             lambda: rec.beam_search(inputs, mask, as_arrays=True))
     finally:
-        os.environ.pop("LVSR_NO_LOOP_KERNEL", None)
+        if prior_no_loop is None:
+            os.environ.pop("LVSR_NO_LOOP_KERNEL", None)
+        else:
+            os.environ["LVSR_NO_LOOP_KERNEL"] = prior_no_loop
     rtf = BATCH * FRAMES * FRAME_S / med
     return {
         "utt_per_s": round(BATCH / med, 3),

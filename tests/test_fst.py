@@ -118,12 +118,13 @@ def test_dict_char_lm():
     assert fst.explain(spell("cat") + [1] + spell("a")) < 1e29
 
 
-def _random_walk_parity(fst, num_symbols, remap, steps, seed):
+def _random_walk_parity(fst, num_symbols, remap, steps, seed,
+                        packer=pack_fst):
     """Device one_step vs host transition+expand on a random symbol walk."""
     from attention_lvcsr_tpu.models.lm import (FSTLanguageModel,
                                                register_packed_fst)
-    packed = pack_fst(fst, remap, num_symbols, no_transition_cost=25.0)
-    key = f"test{seed}"
+    packed = packer(fst, remap, num_symbols, no_transition_cost=25.0)
+    key = f"test{seed}-{packer.__name__}"
     register_packed_fst(key, packed)
     lm = FSTLanguageModel(fst_key=key, num_symbols=num_symbols,
                           max_states=packed.max_states,
@@ -166,6 +167,52 @@ def test_device_lm_parity_arpa():
     fst = arpa_to_fst(ARPA, syms)
     remap = {0: 1, 1: 2}
     _random_walk_parity(fst, 2, remap, steps=6, seed=1)
+
+
+def test_device_lm_parity_csr():
+    """The CSR (searchsorted) lookup path matches host semantics too."""
+    from attention_lvcsr_tpu.ops.fst import pack_fst_csr
+    syms = {"<eps>": 0, "a": 1, "b": 2}
+    fst = arpa_to_fst(ARPA, syms)
+    remap = {0: 1, 1: 2}
+    _random_walk_parity(fst, 2, remap, steps=6, seed=2,
+                        packer=pack_fst_csr)
+    _random_walk_parity(_simple_fst(), 2, {0: 1, 1: 2}, steps=4, seed=3,
+                        packer=pack_fst_csr)
+
+
+def test_csr_matches_dense_tables():
+    """CSR rows are exactly the dense tables' non-empty cells."""
+    from attention_lvcsr_tpu.ops.fst import INF_COST, pack_fst_csr
+    syms = {"<eps>": 0, "a": 1, "b": 2}
+    fst = arpa_to_fst(ARPA, syms)
+    remap = {0: 1, 1: 2}
+    V = 2
+    dense = pack_fst(fst, remap, V, no_transition_cost=25.0)
+    csr = pack_fst_csr(fst, remap, V, no_transition_cost=25.0)
+    assert csr.next_state.shape[-1] == dense.next_state.shape[-1]
+    present = {(s, v) for s in range(dense.total_weight.shape[0])
+               for v in range(V) if dense.total_weight[s, v] < INF_COST}
+    assert {(int(k) // V, int(k) % V) for k in csr.keys} == present
+    for i, k in enumerate(csr.keys):
+        s, v = int(k) // V, int(k) % V
+        assert_allclose(csr.total_weight[i], dense.total_weight[s, v])
+        np.testing.assert_array_equal(csr.next_state[i],
+                                      dense.next_state[s, v])
+        assert_allclose(csr.next_weight[i], dense.next_weight[s, v])
+    np.testing.assert_array_equal(csr.start_states, dense.start_states)
+
+
+def test_all_closures_matches_expand():
+    from attention_lvcsr_tpu.ops.fst import all_closures
+    syms = {"<eps>": 0, "a": 1, "b": 2}
+    for fst in (_simple_fst(), arpa_to_fst(ARPA, syms)):
+        closures = all_closures(fst)
+        for s in range(fst.num_states):
+            ref = fst.expand({s: 0.0})
+            assert set(closures[s]) == set(ref)
+            for t, w in ref.items():
+                assert_allclose(closures[s][t], w, rtol=1e-10, atol=1e-12)
 
 
 @pytest.mark.slow
