@@ -580,6 +580,25 @@ class SequenceGenerator(nn.Module):
             "wss": cell.state_to_state.astype(dtype),
             "h0": cell.initial_state.astype(dtype),
         })
+        lm = self.language_model
+        if lm is not None and not lm.is_csr:
+            # dense packed-FST tables for in-kernel shallow fusion
+            # (lvsr/ops.py:124-233 semantics, VMEM-resident).  Kernel
+            # layout: per-successor-slot (K, S, V) planes so every
+            # gather is a 2-D one-hot matmul; state ids ride as f32.
+            tlm = lm.tables.value
+            f32 = jnp.float32
+            t.update({
+                "lm_total": tlm["total_weight"].astype(f32),
+                "lm_ns": jnp.transpose(
+                    tlm["next_state"], (2, 0, 1)).astype(f32),
+                "lm_nw": jnp.transpose(
+                    tlm["next_weight"], (2, 0, 1)).astype(f32),
+                "lm_start_states": tlm["start_states"].astype(
+                    f32).reshape(1, -1),
+                "lm_start_weights": tlm["start_weights"].astype(
+                    f32).reshape(1, -1),
+            })
         return t
 
     def _fused_score(self, carry, contexts, beam, interpret):

@@ -38,8 +38,20 @@ from attention_lvcsr_tpu.ops.fst import (Fst, NOT_STATE, PackedFst,
 _PACKED_REGISTRY: Dict[str, Any] = {}
 
 
-def register_packed_fst(key: str, packed: PackedFst):
+def register_packed_fst(key: str, packed):
     _PACKED_REGISTRY[key] = packed
+
+
+def get_packed_for_config(lm_conf: Mapping[str, Any]):
+    """The packed FST a ``net.lm`` config section resolves to, if it has
+    been built already (the registry key mirrors
+    :func:`make_language_model`); None before the first model init."""
+    if not lm_conf or not lm_conf.get("path"):
+        return None
+    key = (f"{lm_conf['path']}"
+           f"|{float(lm_conf.get('no_transition_cost', 1e12))}"
+           f"|{int(lm_conf.get('max_states', 7))}")
+    return _PACKED_REGISTRY.get(key)
 
 
 def _neg_logsumexp_neg(costs, axis, valid=None):

@@ -11,31 +11,56 @@ removes all of it: the decode becomes encoder + one ``pallas_call``.
 
 The kernel is **utterance-grouped**: each grid step decodes G utterances
 together (default 16).  Grid steps are sequential on a TPU core, so
-per-utterance grids serialize the many small VPU ops (the unrolled
-top-k rounds) 64x at batch 64; grouping turns the thin per-utterance
-matmuls into (G*K)-row MXU matmuls and makes every top-k/merge round
-process G utterances in the same vector op.  Per-utterance gathers
-become ONE block-diagonal one-hot matmul over the grouped rows.
+per-utterance grids serialize the many small VPU ops (the top-k rounds)
+64x at batch 64; grouping turns the thin per-utterance matmuls into
+(G*K)-row MXU matmuls and makes every top-k/merge round process G
+utterances in the same vector op.  Per-utterance gathers become ONE
+block-diagonal one-hot matmul over the grouped rows.
 
 Scope: the flagship configuration (conv location attention with one
 filter, softmax energy normalizer, single-layer GRU decoder, embedding
 feedback, weighted-averages-only readout with one tanh post-merge layer,
-log-likelihood criterion, no LM fusion, no decode constraint).  The XLA
-path in :mod:`attention_lvcsr_tpu.search.beam` remains for everything
-else and is the semantic reference — this kernel replicates it exactly
-(same candidate selection tie-breaking, same stopping bookkeeping; see
-``tests/test_beam_loop.py`` for the parity suite).
+log-likelihood criterion, no decode constraint) — now INCLUDING
+
+* **FST shallow fusion** (``lm=True``): the reference's north-star
+  operating point decodes with a trigram LM
+  (``exp/wsj/decode.sh:7-26``); here the per-hypothesis live state set
+  (<= ``m_lm`` states + weights, the reference's ``MAX_STATES=7`` bound,
+  lvsr/ops.py:23) rides in VMEM scratch, the dense packed tables
+  (``total_weight`` (S,V), per-slot ``next_state``/``next_weight``
+  (K,S,V)) are kernel inputs, per-symbol LM costs and the successor
+  merge (dedup by logsumexp + best-M) are computed inside the loop, and
+  the ``ShallowFusionReadout`` combination
+  (lvsr/bricks/language_models.py:74-104) folds them into the ranking.
+  Graphs whose dense tables exceed the VMEM budget use the XLA path
+  with CSR tables instead (``ops/fst.py``).
+* **wide beams** (reference decode.sh uses up to 200): the top-k /
+  done-merge selection rounds roll into ``lax.fori_loop`` above 32
+  slots (unrolled below), and the (G,K,L,M) attention-match tensor is
+  computed in static L-chunks when it exceeds the VMEM budget.
+
+The XLA path in :mod:`attention_lvcsr_tpu.search.beam` remains for
+everything else and is the semantic reference — this kernel replicates
+it exactly (same candidate selection tie-breaking, same stopping
+bookkeeping; see ``tests/test_beam_loop.py`` for the parity suite).
 
 Reference pedigree of the semantics: ``blocks/search.py:244-399``.
 
 Per-group grid; all compute in f32 regardless of the HBM dtype.
 Dynamic-structure tricks (no dynamic shapes inside kernels):
 
-* top-k over the (G, K*V) candidate grid = K unrolled rounds of
-  (row-min, lowest-flat-index argmin, mask-out) — identical tie order
-  to ``lax.top_k`` of the negated costs;
+* top-k over the (G, K*V) candidate grid = K rounds of (row-min,
+  lowest-flat-index argmin, mask-out) — identical tie order to
+  ``lax.top_k`` of the negated costs;
 * hypothesis gathers are block-diagonal one-hot permutation matmuls
-  (MXU), built from row/column iota comparisons;
+  (MXU), built from row/column iota comparisons.  Mosaic f32 matmuls
+  run in bf16 passes and perturb copied values in the last ulps, so
+  integer-valued gathers (LM state ids) are rounded back to exact ints
+  after the matmul; equality-based selections never consume raw matmul
+  copies;
+* LM candidate lanes are laid out per-successor-slot (k-major) but
+  tie-breaking uses an explicit ``ord = m*K + k`` vector replicating
+  the XLA path's (M,K)->M*K reshape order exactly;
 * the done-set merge is the same selection over the per-utterance
   (2K,) adjusted costs, existing entries first (ties keep the old one,
   like the XLA path);
@@ -56,19 +81,31 @@ INF = 1e9
 BIG = 3e38
 NEG = -1e30
 PATIENCE = 30
+NOT_STATE = -1.0
+# selection rounds unroll below this many slots, fori_loop above
+UNROLL_SLOTS = 32
 
 
-def _kernel(pre_ref, att_ref, mask_ref,
-            toep_ref, tri_ref, st_ref, handler_ref, v_ref,
-            merge_ref, mergeb_ref, post_ref, postb_ref,
-            embed_ref, fin_ref, finb_ref, fgate_ref, fgateb_ref,
-            din_ref, dgate_ref, wsg_ref, wss_ref, h0_ref,
-            done_out_ref, done_meta_ref, steps_ref,
-            h_sc, w_sc, aout_sc, acost_sc, dout_sc, dcost_sc, dadj_sc,
-            dlen_sc,
-            *, beam, group, max_len, eol, stop_on, ignore_first_eol,
+def _kernel(*refs,
+            beam, group, max_len, eol, stop_on, ignore_first_eol,
             char_discount, round_to_inf, prior, before, after,
-            initial_begin, initial_end, min_speed, max_speed):
+            initial_begin, initial_end, min_speed, max_speed,
+            l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
+            norm_am, norm_lm, norm_tot, no_trans):
+    n_in = 22 + (5 if lm else 0)
+    (pre_ref, att_ref, mask_ref,
+     toep_ref, tri_ref, st_ref, handler_ref, v_ref,
+     merge_ref, mergeb_ref, post_ref, postb_ref,
+     embed_ref, fin_ref, finb_ref, fgate_ref, fgateb_ref,
+     din_ref, dgate_ref, wsg_ref, wss_ref, h0_ref) = refs[:22]
+    if lm:
+        (lmt_ref, lmns_ref, lmnw_ref, lmss_ref, lmsw_ref) = refs[22:27]
+    (done_out_ref, done_meta_ref, steps_ref) = refs[n_in:n_in + 3]
+    (h_sc, w_sc, aout_sc, acost_sc, dout_sc, dcost_sc, dadj_sc,
+     dlen_sc) = refs[n_in + 3:n_in + 11]
+    if lm:
+        lms_sc, lmw_sc = refs[n_in + 11:n_in + 13]
+
     f32 = jnp.float32
     K = beam
     G = group
@@ -116,10 +153,21 @@ def _kernel(pre_ref, att_ref, mask_ref,
     cols_r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     rows_2r = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * R), 0)
     cols_2r = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * R), 1)
+
     def dot(a, b):
+        # Precision.HIGHEST is REQUIRED, not a nicety: Mosaic's default
+        # f32 matmul is a single bf16 pass (measured on chip: one-hot
+        # copies come back bf16-rounded, 4e-3 relative, and gathered
+        # integer ids are off by up to 256 at 1e5 magnitude — round()
+        # cannot recover them).  Every one-hot gather/permutation in
+        # this kernel would corrupt costs and LM state ids without it;
+        # HIGHEST one-hot copies are bit-exact.  The handful of genuine
+        # compute matmuls here are tiny (R x D-ish), so the extra MXU
+        # passes are noise in this latency-bound kernel.
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
 
     def rows_to_groups(x):                     # (R, 1) -> (G, K)
         return x.reshape(G, K)
@@ -132,6 +180,130 @@ def _kernel(pre_ref, att_ref, mask_ref,
         return jnp.broadcast_to(x.reshape(G, 1, 1),
                                 (G, K, 1)).reshape(R, 1)
 
+    if lm:
+        S_lm = lmt_ref.shape[0]
+        Mlm = m_lm
+        N_lm = Mlm * k_arc                    # successor candidates/row
+        lm_total = lmt_ref[:].astype(f32)     # (S_lm, V)
+        iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (R, Mlm, S_lm), 2)
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (R, Mlm), 1)
+        lane_n = jax.lax.broadcasted_iota(jnp.int32, (R, N_lm), 1)
+        # my candidate lane n holds (m = n % Mlm, k = n // Mlm); the XLA
+        # path's flat order is m*k_arc + k — tie-break on ord, not n
+        ord_n = ((lane_n % Mlm) * k_arc + lane_n // Mlm)
+        ordn3 = ord_n[:, :, None]             # (R, N, 1)
+
+        def lm_gather(states, table2d):
+            """Rows of (S_lm, X) gathered per (row, live-slot) state ->
+            (R, Mlm, X).  One-hot matmul; integer outputs need round()
+            (bf16-pass perturbation)."""
+            onehot = (iota_s3 == states[:, :, None].astype(
+                jnp.int32)).astype(f32)
+            flat = dot(onehot.reshape(R * Mlm, S_lm), table2d)
+            return flat.reshape(R, Mlm, table2d.shape[-1])
+
+        def lm_costs(states, weights):
+            """FSTCostsOp inside the kernel: per-symbol transition costs
+            (R, V) for the live sets (models/lm.py:_costs semantics)."""
+            valid = states >= NOT_STATE + 0.5          # (R, Mlm)
+            tw3 = lm_gather(states, lm_total)          # (R, Mlm, V)
+            nxt3 = weights[:, :, None] + tw3
+            # -logsumexp(-nxt) over the M live slots, unrolled (M <= 7)
+            mmin = jnp.full((R, V), BIG, f32)
+            for m in range(Mlm):
+                vm = valid[:, m:m + 1]
+                mmin = jnp.minimum(
+                    mmin, jnp.where(vm, nxt3[:, m, :], BIG))
+            ssum = jnp.zeros((R, V), f32)
+            for m in range(Mlm):
+                vm = valid[:, m:m + 1]
+                term = jnp.exp(jnp.minimum(mmin - nxt3[:, m, :], 0.0))
+                ssum = ssum + jnp.where(vm, term, 0.0)
+            nxt_total = jnp.where(ssum > 0.0,
+                                  mmin - jnp.log(jnp.maximum(ssum, 1e-38)),
+                                  BIG)
+            # total weight of the current set (lane reduce over M)
+            wvalid = jnp.where(valid, weights, BIG)
+            m0 = jnp.min(wvalid, axis=1, keepdims=True)       # (R, 1)
+            s0 = jnp.sum(jnp.where(valid,
+                                   jnp.exp(jnp.minimum(m0 - weights, 0.0)),
+                                   0.0), axis=1, keepdims=True)
+            total = m0 - jnp.log(jnp.maximum(s0, 1e-38))
+            has_any = jnp.max(valid.astype(f32), axis=1,
+                              keepdims=True) > 0.0
+            # dense-table padding is INF_COST = 1e30 (float-finite)
+            reachable = (nxt_total < 1e29) & has_any
+            return jnp.where(reachable, nxt_total - total,
+                             jnp.asarray(no_trans, f32))
+
+        def lm_advance(states, weights, symbols):
+            """One FST transition for chosen symbols: gather closed
+            successor slots, merge duplicates by logsumexp, keep best-M
+            (models/lm.py:one_step semantics, ord-exact tie order)."""
+            valid = states >= NOT_STATE + 0.5
+            sym3 = symbols[:, :, None]                 # (R, 1, 1)
+            iota_v3 = jax.lax.broadcasted_iota(
+                jnp.int32, (R, Mlm, V), 2).astype(f32)
+            sym_mask = (iota_v3 == sym3).astype(f32)   # (R, Mlm, V)
+            ns_parts, nw_parts = [], []
+            for k in range(k_arc):
+                g_ns = lm_gather(states, lmns_ref[k].astype(f32))
+                g_nw = lm_gather(states, lmnw_ref[k].astype(f32))
+                # select this row's symbol column (exact: elementwise
+                # mask + lane reduce, no matmul)
+                ns_k = jnp.sum(g_ns * sym_mask, axis=2)     # (R, Mlm)
+                nw_k = jnp.sum(g_nw * sym_mask, axis=2)
+                ns_k = jnp.round(ns_k)               # exact int recovery
+                ns_k = jnp.where(valid, ns_k, NOT_STATE)
+                nw_k = weights + nw_k
+                ns_parts.append(ns_k)
+                nw_parts.append(nw_k)
+            ns = jnp.concatenate(ns_parts, axis=1)          # (R, N_lm)
+            nw = jnp.concatenate(nw_parts, axis=1)
+            cand_ok = (ns >= NOT_STATE + 0.5) & (nw < 1e29)
+            nw = jnp.where(cand_ok, nw, BIG)
+            # dedup duplicate successor states: logsumexp-merge onto the
+            # lowest-ord occurrence, BIG elsewhere
+            same = (ns[:, :, None] == ns[:, None, :]) \
+                & cand_ok[:, None, :]                       # (R, N, N)
+            nw3 = jnp.broadcast_to(nw[:, None, :], same.shape)
+            mmin = jnp.min(jnp.where(same, nw3, BIG), axis=2)
+            ssum = jnp.sum(
+                jnp.where(same,
+                          jnp.exp(jnp.minimum(mmin[:, :, None] - nw3,
+                                              0.0)),
+                          0.0), axis=2)
+            merged = jnp.where(ssum > 0.0,
+                               mmin - jnp.log(jnp.maximum(ssum, 1e-38)),
+                               BIG)
+            earlier = same & (ord_n[:, None, :] < ordn3)
+            is_first = (jnp.max(earlier.astype(f32), axis=2) == 0.0) \
+                & cand_ok
+            merged = jnp.where(is_first, merged, BIG)
+            # best-M by (weight, ord) — matches lax.top_k(-merged) ties
+            new_s = jnp.full((R, Mlm), NOT_STATE, f32)
+            new_w = jnp.zeros((R, Mlm), f32)
+            work = merged
+            for slot in range(Mlm):
+                m = jnp.min(work, axis=1, keepdims=True)        # (R, 1)
+                tie = jnp.min(jnp.where(work == m, ord_n, N_lm),
+                              axis=1, keepdims=True)            # (R, 1)
+                hit = ord_n == tie                              # (R, N)
+                sel_s = jnp.min(jnp.where(hit, ns, BIG), axis=1,
+                                keepdims=True)
+                work = jnp.where(hit, BIG, work)
+                alive = m < 1e29
+                mine = lane_m == slot
+                new_s = jnp.where(mine & alive, sel_s, new_s)
+                new_w = jnp.where(mine & alive, m, new_w)
+            return new_s, new_w
+
+    def lane_lse(x):
+        """log(sum(exp(x))) over lanes, max-shifted — (R, V) -> (R, 1)."""
+        mx = jnp.max(x, axis=1, keepdims=True)
+        return mx + jnp.log(jnp.sum(jnp.exp(x - mx), axis=1,
+                                    keepdims=True))
+
     # ---- init ------------------------------------------------------------
     rows_dead = (jnp.sum(att_mask, axis=1, keepdims=True) == 0.0)  # (G,1)
     dead_r = per_group(rows_dead.astype(f32)) > 0.5                # (R,1)
@@ -143,6 +315,9 @@ def _kernel(pre_ref, att_ref, mask_ref,
     dcost_sc[:] = jnp.full((R, 1), INF, f32)
     dadj_sc[:] = jnp.full((R, 1), INF, f32)
     dlen_sc[:] = jnp.zeros((R, 1), f32)
+    if lm:
+        lms_sc[:] = jnp.broadcast_to(lmss_ref[:].astype(f32), (R, m_lm))
+        lmw_sc[:] = jnp.broadcast_to(lmsw_ref[:].astype(f32), (R, m_lm))
 
     def body(i, carry):
         patience, min_cost, stopped, steps = carry      # (G,1) each
@@ -223,13 +398,23 @@ def _kernel(pre_ref, att_ref, mask_ref,
             combined = gmask * additional * att_rows
 
         # ---- energies (conv via Toeplitz matmul) ---------------------
+        # The (G, K, Lt, M) match tensor is the kernel's dominant
+        # intermediate; ``l_chunk`` bounds it for wide beams/long audio
+        # (static chunking — concat over lane tiles).
         conv = dot(w * gmask, toep)                     # (R, L)
         sp = dot(h, st)                                 # (R, M)
-        match = jnp.tanh(
-            pre.reshape(G, 1, L, M)
-            + sp.reshape(G, K, 1, M)
-            + conv.reshape(G, K, L, 1) * handler.reshape(1, 1, 1, M))
-        energies = dot(match.reshape(R * L, M), v).reshape(R, L)
+        parts = []
+        step_l = l_chunk or L
+        for l0 in range(0, L, step_l):
+            lt = min(step_l, L - l0)
+            match = jnp.tanh(
+                pre[:, l0:l0 + lt].reshape(G, 1, lt, M)
+                + sp.reshape(G, K, 1, M)
+                + conv[:, l0:l0 + lt].reshape(G, K, lt, 1)
+                * handler.reshape(1, 1, 1, M))
+            parts.append(dot(match.reshape(R * lt, M), v).reshape(R, lt))
+        energies = (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=1))    # (R, L)
 
         # ---- masked softmax ------------------------------------------
         masked = jnp.where(gmask > 0, energies, NEG)
@@ -247,25 +432,41 @@ def _kernel(pre_ref, att_ref, mask_ref,
         wa = jax.lax.dot_general(
             wnew.reshape(G, K, L), attended,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32).reshape(R, -1)  # (R, D)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST).reshape(R, -1)  # (R, D)
         act = jnp.tanh(dot(wa, merge_k) + merge_b)
         logits = dot(act, post_k) + post_b              # (R, V)
-        lmx = jnp.max(logits, axis=1, keepdims=True)
-        lse = lmx + jnp.log(
-            jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
-        costs = lse - logits                            # (R, V)
+        if not lm:
+            lmx = jnp.max(logits, axis=1, keepdims=True)
+            lse = lmx + jnp.log(
+                jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
+            costs = lse - logits                        # (R, V)
+        else:
+            # ShallowFusionReadout + LMEmitter.costs
+            # (lvsr/bricks/language_models.py:74-104,147-184):
+            # am_beta scales BEFORE the log-softmax; costs = -x
+            am = am_beta * logits
+            if norm_am:
+                am = am - lane_lse(am)
+            lm_add = lm_costs(lms_sc[:], lmw_sc[:])     # (R, V)
+            lmc = -lm_add
+            if norm_lm:
+                lmc = lmc - lane_lse(lmc)
+            x = am + lm_weight * lmc
+            if norm_tot:
+                x = x - lane_lse(x)
+            costs = -x
 
         # ---- top-k over each utterance's K*V candidates --------------
         # Candidates stay in row space (R, V); per-utterance reductions
         # go lane-min -> (R,1) -> (G,K) reshape -> lane-min -> (G,1),
-        # and come back to rows through the ind_rg matmul.  K unrolled
-        # rounds, each selecting one winner for ALL G utterances.
+        # and come back to rows through the per_group broadcast.  K
+        # rounds, each selecting one winner for ALL G utterances —
+        # unrolled for small beams, fori_loop for wide ones.
         alive = acost_sc[:]                             # (R, 1)
-        work = alive + costs                            # (R, V)
-        src = jnp.zeros((R, 1), jnp.int32)
-        symf = jnp.zeros((R, 1), f32)
-        chosen = jnp.zeros((R, 1), f32)
-        for slot in range(K):
+
+        def sel_round(slot, sel):
+            work, src, symf, chosen = sel
             m = jnp.min(rows_to_groups(
                 jnp.min(work, axis=1, keepdims=True)),
                 axis=1, keepdims=True)                  # (G, 1)
@@ -280,7 +481,16 @@ def _kernel(pre_ref, att_ref, mask_ref,
             src = jnp.where(mine, idx_r // V, src)
             symf = jnp.where(mine, (idx_r % V).astype(f32), symf)
             chosen = jnp.where(mine, m_r, chosen)
-        symbols = symf                                  # (R, 1) f32
+            return work, src, symf, chosen
+
+        sel0 = (alive + costs, jnp.zeros((R, 1), jnp.int32),
+                jnp.zeros((R, 1), f32), jnp.zeros((R, 1), f32))
+        if K <= UNROLL_SLOTS:
+            for slot in range(K):
+                sel0 = sel_round(slot, sel0)
+        else:
+            sel0 = jax.lax.fori_loop(0, K, sel_round, sel0)
+        _, src, symbols, chosen = sel0                  # symbols (R,1) f32
 
         # ---- gather by source beam row (block-diag one-hot matmul) ---
         src_flat = (rows_r // K) * K + src              # (R, R) bcast
@@ -290,6 +500,11 @@ def _kernel(pre_ref, att_ref, mask_ref,
         w_src = dot(perm, wnew)
         wa_src = dot(perm, wa)
         aout = dot(perm, aout_sc[:])                    # (R, Lout)
+        if lm:
+            # state ids are integers: round off the bf16-pass matmul
+            # perturbation so downstream equality selections stay exact
+            lms_src = jnp.round(dot(perm, lms_sc[:]))   # (R, Mlm)
+            lmw_src = dot(perm, lmw_sc[:])
 
         # ---- record symbol -------------------------------------------
         aout_col = jnp.where(out_cols == i, symbols, aout)
@@ -309,6 +524,10 @@ def _kernel(pre_ref, att_ref, mask_ref,
         cand = jnp.tanh(dot(h_src * reset, wss) + in_tot)
         h_new = update * cand + (1.0 - update) * h_src
 
+        # ---- LM advance ----------------------------------------------
+        if lm:
+            lms_new, lmw_new = lm_advance(lms_src, lmw_src, symbols)
+
         # ---- EOS retirement ------------------------------------------
         is_eos = symbols == float(eol)
         if ignore_first_eol:
@@ -320,17 +539,26 @@ def _kernel(pre_ref, att_ref, mask_ref,
 
         # ---- done-set merge (2K -> K per utterance, old entries win
         # ties).  Candidate order: [existing K, new K] per utterance.
-        workd = jnp.concatenate(
-            [rows_to_groups(dadj_sc[:]),
-             rows_to_groups(new_adj)], axis=1)          # (G, 2K)
-        pick = jnp.zeros((R, 1), jnp.int32)
-        for slot in range(K):
+        def merge_round(slot, mrg):
+            workd, pick = mrg
             m = jnp.min(workd, axis=1, keepdims=True)
             idx = jnp.min(jnp.where(workd == m, iota_2k, 2 * K),
                           axis=1, keepdims=True)        # (G,1)
             workd = jnp.where(iota_2k == idx, BIG, workd)
             idx_r = per_group(idx.astype(f32)).astype(jnp.int32)
             pick = jnp.where(slot_r == slot, idx_r, pick)
+            return workd, pick
+
+        mrg0 = (jnp.concatenate(
+            [rows_to_groups(dadj_sc[:]),
+             rows_to_groups(new_adj)], axis=1),          # (G, 2K)
+            jnp.zeros((R, 1), jnp.int32))
+        if K <= UNROLL_SLOTS:
+            for slot in range(K):
+                mrg0 = merge_round(slot, mrg0)
+        else:
+            mrg0 = jax.lax.fori_loop(0, K, merge_round, mrg0)
+        _, pick = mrg0
         # flat row in the stacked [done (R); alive (R)] candidate array
         g_of_row = rows_2r // K
         pick_flat = jnp.where(pick < K,
@@ -358,6 +586,9 @@ def _kernel(pre_ref, att_ref, mask_ref,
         dcost_sc[:] = jnp.where(live, dcost_new, dcost_sc[:])
         dlen_sc[:] = jnp.where(live, dlen_new, dlen_sc[:])
         dout_sc[:] = jnp.where(live, dout_new, dout_sc[:])
+        if lm:
+            lms_sc[:] = jnp.where(live, lms_new, lms_sc[:])
+            lmw_sc[:] = jnp.where(live, lmw_new, lmw_sc[:])
 
         return patience, min_cost, stopped, steps
 
@@ -374,25 +605,44 @@ def _kernel(pre_ref, att_ref, mask_ref,
     steps_ref[:] = steps.reshape(G, 1, 1)
 
 
+# the (G, K, Lt, M) match tensor is chunked over L to stay below this
+MATCH_VMEM_BUDGET = 48 << 20
+
+
+def pick_l_chunk(beam, group, length, match_dim):
+    """Static L-chunk (multiple of 128 for clean lane slicing) keeping
+    the match tensor below MATCH_VMEM_BUDGET; None = no chunking."""
+    rows = beam * group
+    if rows * length * match_dim * 4 <= MATCH_VMEM_BUDGET:
+        return None
+    lt = (MATCH_VMEM_BUDGET // (rows * match_dim * 4)) // 128 * 128
+    return max(128, int(lt))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("beam", "max_len", "eol", "stop_on",
                      "ignore_first_eol", "char_discount", "round_to_inf",
                      "prior", "before", "after", "initial_begin",
                      "initial_end", "min_speed", "max_speed", "group",
-                     "interpret"))
+                     "lm_fusion", "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
                      beam, max_len, eol, stop_on="patience",
                      ignore_first_eol=False, char_discount=0.0,
                      round_to_inf=1e9, prior="expanding", before=0.0,
                      after=0.0, initial_begin=0.0, initial_end=1e4,
                      min_speed=0.0, max_speed=0.0, group=16,
-                     interpret=False):
+                     lm_fusion=None, interpret=False):
     """Run the full decode loop.  Returns (done_out (U,K,max_len) int32,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
     ``tables`` is the dict from
-    ``SequenceGenerator.loop_decode_tables`` (dense weight tables).
+    ``SequenceGenerator.loop_decode_tables`` (dense weight tables; with
+    ``lm_fusion`` also the packed LM tables ``lm_total``/``lm_ns``/
+    ``lm_nw``/``lm_start_*``).
+    ``lm_fusion``: None, or a hashable fusion spec
+    ``(m_lm, k_arc, lm_weight, am_beta, norm_am, norm_lm, norm_tot,
+    no_transition_cost)`` — the ShallowFusionReadout configuration.
     ``group``: utterances decoded together per grid step; the batch is
     padded up to a multiple (padded rows are fully-masked and retire
     immediately).
@@ -415,6 +665,15 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         attended = jnp.concatenate([attended, zeros(attended)])
         att_mask = jnp.concatenate([att_mask, zeros(att_mask)])
 
+    lm = lm_fusion is not None
+    if lm:
+        (m_lm, k_arc, lm_weight, am_beta, norm_am, norm_lm, norm_tot,
+         no_trans) = lm_fusion
+    else:
+        m_lm = k_arc = 1
+        lm_weight = am_beta = no_trans = 0.0
+        norm_am = norm_lm = norm_tot = False
+
     kernel = functools.partial(
         _kernel, beam=K, group=G, max_len=Lout, eol=int(eol),
         stop_on=stop_on, ignore_first_eol=bool(ignore_first_eol),
@@ -423,7 +682,12 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         before=float(before), after=float(after),
         initial_begin=float(initial_begin),
         initial_end=float(initial_end), min_speed=float(min_speed),
-        max_speed=float(max_speed))
+        max_speed=float(max_speed),
+        l_chunk=pick_l_chunk(K, G, L, M),
+        lm=lm, m_lm=int(m_lm), k_arc=int(k_arc),
+        lm_weight=float(lm_weight), am_beta=float(am_beta),
+        norm_am=bool(norm_am), norm_lm=bool(norm_lm),
+        norm_tot=bool(norm_tot), no_trans=float(no_trans))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -432,59 +696,80 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     full = lambda *dims: pl.BlockSpec(dims, lambda u: (0,) * len(dims))
     perg = lambda *dims: pl.BlockSpec((G,) + dims,
                                       lambda u: (u,) + (0,) * len(dims))
+    in_specs = [
+        perg(L, M),             # pre
+        perg(L, D),             # attended
+        perg(1, L),             # att_mask
+        full(L, L),             # toeplitz
+        full(L, L),             # tri
+        full(S, M),             # state_trans
+        full(1, M),             # handler
+        full(M, 1),             # v
+        full(D, R),             # merge kernel
+        full(1, R),             # merge bias
+        full(R, V),             # post kernel
+        full(1, V),             # post bias
+        full(Vf, F),            # feedback embedding
+        full(F, S),             # fork inputs W
+        full(1, S),             # fork inputs b
+        full(F, 2 * S),         # fork gates W
+        full(1, 2 * S),         # fork gates b
+        full(D, S),             # distribute inputs W
+        full(D, 2 * S),         # distribute gates W
+        full(S, 2 * S),         # GRU state_to_gates
+        full(S, S),             # GRU state_to_state
+        full(1, S),             # GRU initial state
+    ]
+    inputs = [pre, attended, att_mask.reshape(U_pad, 1, L),
+              tables["toeplitz"], tables["tri"], tables["state_trans"],
+              tables["handler"].reshape(1, M), tables["v"].reshape(M, 1),
+              tables["merge_k"], tables["merge_b"].reshape(1, R),
+              tables["post_k"], tables["post_b"].reshape(1, V),
+              tables["embed"], tables["fork_in_w"],
+              tables["fork_in_b"].reshape(1, S), tables["fork_gate_w"],
+              tables["fork_gate_b"].reshape(1, 2 * S),
+              tables["dist_in_w"], tables["dist_gate_w"],
+              tables["wsg"], tables["wss"],
+              tables["h0"].reshape(1, S)]
+    scratch_shapes = [
+        pltpu.VMEM((G * K, S), f32),          # h
+        pltpu.VMEM((G * K, L), f32),          # weights
+        pltpu.VMEM((G * K, Lout), f32),       # alive_out
+        pltpu.VMEM((G * K, 1), f32),          # alive_costs
+        pltpu.VMEM((G * K, Lout), f32),       # done_out (f32 work)
+        pltpu.VMEM((G * K, 1), f32),          # done cost
+        pltpu.VMEM((G * K, 1), f32),          # done adjusted
+        pltpu.VMEM((G * K, 1), f32),          # done len
+    ]
+    if lm:
+        S_lm = tables["lm_total"].shape[0]
+        in_specs += [
+            full(S_lm, V),             # lm total_weight
+            full(int(k_arc), S_lm, V),  # lm next_state planes
+            full(int(k_arc), S_lm, V),  # lm next_weight planes
+            full(1, int(m_lm)),        # lm start states
+            full(1, int(m_lm)),        # lm start weights
+        ]
+        inputs += [tables["lm_total"], tables["lm_ns"],
+                   tables["lm_nw"], tables["lm_start_states"],
+                   tables["lm_start_weights"]]
+        scratch_shapes += [
+            pltpu.VMEM((G * K, int(m_lm)), f32),  # lm live states
+            pltpu.VMEM((G * K, int(m_lm)), f32),  # lm live weights
+        ]
+
     done_out, done_meta, steps = pl.pallas_call(
         kernel,
         grid=(U_pad // G,),
-        in_specs=[
-            perg(L, M),             # pre
-            perg(L, D),             # attended
-            perg(1, L),             # att_mask
-            full(L, L),             # toeplitz
-            full(L, L),             # tri
-            full(S, M),             # state_trans
-            full(1, M),             # handler
-            full(M, 1),             # v
-            full(D, R),             # merge kernel
-            full(1, R),             # merge bias
-            full(R, V),             # post kernel
-            full(1, V),             # post bias
-            full(Vf, F),            # feedback embedding
-            full(F, S),             # fork inputs W
-            full(1, S),             # fork inputs b
-            full(F, 2 * S),         # fork gates W
-            full(1, 2 * S),         # fork gates b
-            full(D, S),             # distribute inputs W
-            full(D, 2 * S),         # distribute gates W
-            full(S, 2 * S),         # GRU state_to_gates
-            full(S, S),             # GRU state_to_state
-            full(1, S),             # GRU initial state
-        ],
+        in_specs=in_specs,
         out_specs=(perg(K, Lout), perg(K, 3), perg(1, 1)),
         out_shape=(
             jax.ShapeDtypeStruct((U_pad, K, Lout), jnp.int32),
             jax.ShapeDtypeStruct((U_pad, K, 3), f32),
             jax.ShapeDtypeStruct((U_pad, 1, 1), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((G * K, S), f32),          # h
-            pltpu.VMEM((G * K, L), f32),          # weights
-            pltpu.VMEM((G * K, Lout), f32),       # alive_out
-            pltpu.VMEM((G * K, 1), f32),          # alive_costs
-            pltpu.VMEM((G * K, Lout), f32),       # done_out (f32 work)
-            pltpu.VMEM((G * K, 1), f32),          # done cost
-            pltpu.VMEM((G * K, 1), f32),          # done adjusted
-            pltpu.VMEM((G * K, 1), f32),          # done len
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         **kwargs,
-    )(pre, attended, att_mask.reshape(U_pad, 1, L),
-      tables["toeplitz"], tables["tri"], tables["state_trans"],
-      tables["handler"].reshape(1, M), tables["v"].reshape(M, 1),
-      tables["merge_k"], tables["merge_b"].reshape(1, R),
-      tables["post_k"], tables["post_b"].reshape(1, V),
-      tables["embed"], tables["fork_in_w"],
-      tables["fork_in_b"].reshape(1, S), tables["fork_gate_w"],
-      tables["fork_gate_b"].reshape(1, 2 * S), tables["dist_in_w"],
-      tables["dist_gate_w"], tables["wsg"], tables["wss"],
-      tables["h0"].reshape(1, S))
+    )(*inputs)
     return done_out[:U], done_meta[:U], steps.reshape(U_pad)[:U]

@@ -61,6 +61,18 @@ class CandidateNotFoundError(Exception):
     """No finished hypothesis was produced (blocks/search.py:15)."""
 
 
+def _cast_tree(params, dtype):
+    """Cast floating leaves to the compute dtype — EXCEPT the ``fst``
+    collection: packed LM tables are exact lookup data (state ids,
+    INF_COST pads, log-probs) and stay f32 regardless."""
+    cast = (lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a)
+    if isinstance(params, dict) and "fst" in params:
+        return {k: (v if k == "fst" else jax.tree.map(cast, v))
+                for k, v in params.items()}
+    return jax.tree.map(cast, params)
+
+
 @dataclasses.dataclass(frozen=True)
 class DecodeConstraint:
     """Dense deterministic acceptor over the network's output alphabet.
@@ -226,22 +238,63 @@ class BeamSearch:
         costs = [float(out["done_cost"][0, i]) for i in order]
         return outputs, costs
 
-    # VMEM budget for the kernel's dominant intermediate, the
-    # (G, K, L, M) attention-match tensor; the group size is chosen to
-    # fit it, and configurations that cannot fit even one utterance
-    # (huge beams / very long audio) fall back to the XLA path.
+    # VMEM budget for the kernel's dominant intermediates: the
+    # (G, K, L, M) attention-match tensor (L-chunked by the kernel when
+    # one utterance alone exceeds it), the per-row (R, L) alignment
+    # tensors, and with LM fusion the packed tables + the (R*M, S_lm)
+    # state-gather one-hot.  The group size is chosen to fit; truly
+    # impossible configurations fall back to the XLA path.
     LOOP_VMEM_BUDGET = 64 << 20
+    # dense LM tables ((1 + 2K)*S*V floats) beyond this use the XLA path
+    LM_TABLE_BUDGET = 24 << 20
+    MAX_LOOP_BEAM = 512
+
+    def _lm_packed(self):
+        """The dense packed FST when in-kernel fusion is possible for
+        this net's ``lm`` config, else None."""
+        lm = dict(self.net.lm) if getattr(self.net, "lm", None) else {}
+        if not lm.get("path"):
+            return None
+        from attention_lvcsr_tpu.models.lm import get_packed_for_config
+        from attention_lvcsr_tpu.ops.fst import PackedFst
+        packed = get_packed_for_config(lm)
+        if not isinstance(packed, PackedFst):
+            return None  # CSR / not yet built: XLA path
+        S_lm, V, K_arc = packed.next_state.shape
+        if K_arc > 8:
+            return None
+        if (1 + 2 * K_arc) * S_lm * V * 4 > self.LM_TABLE_BUDGET:
+            return None
+        return packed
+
+    def _loop_bytes(self, attended_len, match_dim, packed_lm):
+        """(fixed, per-utterance, per-utterance-unchunkable) VMEM bytes."""
+        K, L = self.beam_size, attended_len
+        fixed = 2 * L * L * 4
+        lm_per_utt = 0
+        if packed_lm is not None:
+            S_lm, V, K_arc = packed_lm.next_state.shape
+            fixed += (1 + 2 * K_arc) * S_lm * V * 4
+            # the (R*M, S_lm) one-hot + (R, M, V) gather intermediates
+            lm_per_utt = K * packed_lm.max_states * (S_lm + 3 * V) * 4
+        # ~8 (R, L) alignment-sized tensors + the K x K permutations
+        per_utt_base = K * L * 4 * 8 + K * K * 4 * 3 + lm_per_utt
+        per_utt = per_utt_base + K * L * match_dim * 4
+        return fixed, per_utt, per_utt_base
 
     def _loop_group(self, attended_len, match_dim):
         env = os.environ.get("LVSR_LOOP_GROUP")
         if env:
             return max(1, int(env))
-        per_utt = self.beam_size * attended_len * match_dim * 4
-        # the (L, L) toeplitz + cumsum tables are loaded whole,
-        # independent of the group size
-        fixed = 2 * attended_len * attended_len * 4
+        fixed, per_utt, per_utt_base = self._loop_bytes(
+            attended_len, match_dim, self._lm_packed())
         avail = max(self.LOOP_VMEM_BUDGET - fixed, 0)
-        return max(1, min(16, avail // max(per_utt, 1)))
+        g = avail // max(per_utt, 1)
+        if g < 1:
+            # wide beams / long audio: one utterance per grid step, the
+            # kernel chunks the match tensor over L
+            return 1
+        return max(1, min(16, g))
 
     # ------------------------------------------------------------------
     def _loop_kernel_mode(self, num_frames=None):
@@ -255,23 +308,31 @@ class BeamSearch:
             return None
         if not hasattr(net, "criterion"):
             return None  # scripted/test doubles: XLA path only
-        if self.beam_size > 64:
-            return None  # wide beams (reference decode.sh uses 200): XLA
+        if self.beam_size > self.MAX_LOOP_BEAM:
+            return None  # selection rounds are O(K) sequential
+        lm = dict(net.lm) if net.lm else {}
+        packed_lm = None
+        if lm.get("path"):
+            # in-kernel fusion needs small dense tables; big/CSR graphs
+            # decode on the XLA path (searchsorted lookups)
+            packed_lm = self._lm_packed()
+            if packed_lm is None:
+                return None
         if num_frames is not None:
-            # the single-utterance match tensor PLUS the fixed (L, L)
-            # toeplitz/cumsum tables must fit the budget, else fall back
-            # to the XLA path instead of failing in Mosaic
+            # even with the kernel's L-chunked match tensor, the per-row
+            # alignment state of ONE utterance (plus the fixed tables)
+            # must fit the budget, else fall back to the XLA path
+            # instead of failing in Mosaic
             subsample = 1
             for s in (net.subsample or []):
                 subsample *= int(s)
             l_est = -(-int(num_frames) // max(subsample, 1))
             m_est = net.dim_matcher or net.dim_dec
-            need = (self.beam_size * l_est * m_est * 4
-                    + 2 * l_est * l_est * 4)
-            if need > 1.5 * self.LOOP_VMEM_BUDGET:
+            fixed, _, per_utt_base = self._loop_bytes(
+                l_est, m_est, packed_lm)
+            if fixed + per_utt_base > 1.5 * self.LOOP_VMEM_BUDGET:
                 return None
         crit = dict(net.criterion or {"name": "log_likelihood"})
-        lm = dict(net.lm) if net.lm else {}
         canon = lambda n: n.rsplit(".", 1)[-1] if isinstance(n, str) else n
         supported = (
             net.attention_type == "content_and_conv"
@@ -279,7 +340,6 @@ class BeamSearch:
             and (net.energy_normalizer or "softmax") == "softmax"
             and not net.use_states_for_readout
             and crit["name"] == "log_likelihood"
-            and not lm.get("path")
             and net.dec_stack == 1
             and canon(net.dec_transition) in ("gru", "GatedRecurrent")
             and net.post_merge_dims is not None
@@ -319,11 +379,9 @@ class BeamSearch:
             if cached is not None and cached[0] == (params_token, dtype):
                 params = cached[1]
             else:
-                cast = (lambda a: a.astype(dtype)
-                        if jnp.issubdtype(a.dtype, jnp.floating) else a)
                 if "loop_cast" not in self._jitted:
                     self._jitted["loop_cast"] = jax.jit(
-                        lambda p: jax.tree.map(cast, p))
+                        functools.partial(_cast_tree, dtype=dtype))
                 cast_params = self._jitted["loop_cast"](params)
                 # keep a strong ref to the source tree so its leaf ids
                 # cannot be recycled while the cache entry lives
@@ -359,11 +417,26 @@ class BeamSearch:
             self._tables_cache[1][tkey] = tables
         data = dict(data, tables=tables)
         prior = dict(net.prior or {})
+        lm_fusion = None
+        packed_lm = self._lm_packed()
+        if packed_lm is not None:
+            # the ShallowFusionReadout configuration, passed as a static
+            # fusion spec (models/recognizer.py readout construction)
+            lm = dict(net.lm)
+            lm_fusion = (
+                int(packed_lm.max_states),
+                int(packed_lm.next_state.shape[-1]),
+                float(lm.get("weight", 0.0)),
+                float(lm.get("am_beta", 1.0)),
+                bool(lm.get("normalize_am_weights", True)),
+                bool(lm.get("normalize_lm_weights", False)),
+                bool(lm.get("normalize_tot_weights", False)),
+                float(lm.get("no_transition_cost", 1e12)))
         done_out, done_meta, steps = beam_search_loop(
             data["pre"], data["attended"], data["attended_mask"],
             data["tables"], beam=self.beam_size,
             group=self._loop_group(L, int(tables["v"].shape[0])),
-            max_len=max_len,
+            max_len=max_len, lm_fusion=lm_fusion,
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,
             prior=prior.get("type", "expanding"),
@@ -395,9 +468,7 @@ class BeamSearch:
 
         if self.compute_dtype is not None:
             dtype = jnp.dtype(self.compute_dtype)
-            cast = (lambda a: a.astype(dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
-            params = jax.tree.map(cast, params)
+            params = _cast_tree(params, dtype)
             inputs = inputs.astype(dtype)
             inputs_mask = inputs_mask.astype(dtype)
 

@@ -65,16 +65,101 @@ def _enable_compilation_cache():
         pass
 
 
-def _recognizer(use_pallas):
+def _recognizer(use_pallas, lm_path=None, lm_csr=False):
     from __graft_entry__ import FLAGSHIP_NET
     from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
     net_config = dict(FLAGSHIP_NET)
     net_config["max_decoded_length_scale"] = 8.0
     net_config["use_pallas"] = use_pallas
+    if lm_path:
+        # the reference's WER-parity decode configuration:
+        # exp/wsj/decode.sh:7-26 — trigram LM, weight 0.5,
+        # no_transition_cost 20 (char_discount 1.0 goes to the search)
+        net_config["lm"] = {"path": lm_path, "weight": 0.5,
+                            "no_transition_cost": 20.0}
     return SpeechRecognizer(net_config, init_config={
         "/recognizer": {"weights_init": ["isotropic_gaussian", 0.1],
                         "biases_init": ["constant", 0.0],
                         "rec_weights_init": ["orthogonal"]}})
+
+
+def _bench_lm_npz(csr=False):
+    """Build (once, cached on disk) a WSJ-shaped character trigram LM
+    over the flagship 32-symbol alphabet and pack it for the device.
+
+    The dense pack (~1k states: every char bigram history, as a real
+    char-trigram automaton has) feeds the in-kernel fusion; ``csr=True``
+    packs the same graph into the CSR layout to time the
+    production-size-graph lookup path (ops/fst.py:PackedFstCSR)."""
+    from attention_lvcsr_tpu.ops import fst as F
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"lm_trigram_{'csr' if csr else 'dense'}.npz")
+    if os.path.exists(path):
+        return path
+    rng = np.random.RandomState(11)
+    nchars = 31                      # nn ids 0..30; 31 = <eol>
+    toks = [f"c{i}" for i in range(nchars)] + ["E"]
+    uni = {("<s>",): (-99.0, -0.4), ("</s>",): (-1.5, 0.0)}
+    for t in toks:
+        uni[(t,)] = (float(-1.2 - rng.rand()), -0.5)
+    bi, tri = {}, {}
+    for a in toks:
+        for b in toks:
+            bi[(a, b)] = (float(-0.8 - rng.rand()), -0.3)
+    for a in toks:
+        for b in toks:
+            # a sparse third order (3 continuations per bigram)
+            for c in rng.choice(len(toks), size=3, replace=False):
+                tri[(a, b, toks[c])] = (float(-0.5 - rng.rand()), 0.0)
+    arpa = {1: uni, 2: bi, 3: tri}
+    syms = {t: i + 1 for i, t in enumerate(toks)}
+    fst = F.arpa_to_fst(arpa, syms)
+    remap = {i: i + 1 for i in range(len(toks))}   # nn id i -> label i+1
+    packer = F.pack_fst_csr if csr else F.pack_fst
+    packed = packer(fst, remap, num_nn_symbols=32,
+                    no_transition_cost=20.0)
+    F.save_packed(path, packed)
+    _log(f"built bench LM: {fst.num_states} states -> {path}")
+    return path
+
+
+def bench_decode_lm(label, beam, use_pallas="auto", csr=False,
+                    repeats=REPEATS):
+    """The north-star operating point: encode + beam decode WITH trigram
+    LM shallow fusion (BASELINE.json: utt/s at WER parity is defined at
+    this configuration; exp/wsj/decode.sh beams 10..200)."""
+    _log(f"bench decode-lm[{label}]: beam={beam} csr={csr}")
+    import jax
+    import jax.numpy as jnp
+    rec = _recognizer(use_pallas, lm_path=_bench_lm_npz(csr=csr))
+    rec.init_beam_search(beam)
+    if not csr and use_pallas == "auto":
+        mode = rec._beam_search._loop_kernel_mode(num_frames=FRAMES)
+        _log(f"  loop-kernel mode: {mode}")
+    rng = np.random.RandomState(0)
+    inputs = jax.device_put(jnp.asarray(
+        rng.randn(BATCH, FRAMES, 123), jnp.float32))
+    mask = jax.device_put(jnp.ones((BATCH, FRAMES), jnp.float32))
+    jax.block_until_ready(inputs)
+    out = rec.beam_search(inputs, mask, as_arrays=True,
+                          char_discount=1.0)    # compile
+    steps = int(out["steps"])
+    finished = int(out["done_valid"].any(axis=1).sum())
+    med, lo, hi = _timed(
+        lambda: rec.beam_search(inputs, mask, as_arrays=True,
+                                char_discount=1.0),
+        repeats=repeats)
+    return {
+        "utt_per_s": round(BATCH / med, 3),
+        "realtime_factor": round(BATCH * FRAMES * FRAME_S / med, 1),
+        "wall_s_median": round(med, 4),
+        "wall_s_min": round(lo, 4), "wall_s_max": round(hi, 4),
+        "decode_steps": steps, "beam": beam,
+        "finished_utts": finished,
+        "lm": "csr-xla" if csr else "dense-kernel",
+    }
 
 
 def _timed(fn, repeats=REPEATS):
@@ -225,6 +310,12 @@ def main():
     best = bench_decode("best", use_pallas="auto", compute_dtype=None)
     xla = bench_decode("xla-fallback", use_pallas="never",
                        compute_dtype=None, no_loop_kernel=True)
+    # the north-star operating point: decode WITH the trigram LM
+    # (BASELINE.json defines utt/s at WER parity at this config;
+    # exp/wsj/decode.sh sweeps beams 10..200)
+    lm10 = bench_decode_lm("beam10", beam=10)
+    lm200 = bench_decode_lm("beam200", beam=200, repeats=3)
+    lm_csr = bench_decode_lm("beam10-csr", beam=10, csr=True)
     train = bench_train()
     train_bf16 = bench_train("bfloat16")
 
@@ -237,6 +328,9 @@ def main():
         "detail": {
             "decode_best": best,
             "decode_xla_fallback": xla,
+            "decode_lm_beam10": lm10,
+            "decode_lm_beam200": lm200,
+            "decode_lm_beam10_csr": lm_csr,
             "train_step": train,
             "train_step_bf16": train_bf16,
             "batch": BATCH, "frames": FRAMES, "beam": BEAM,

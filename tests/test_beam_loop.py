@@ -178,17 +178,21 @@ def test_table_cache_invalidates_on_param_change():
         not np.allclose(out1["done_cost"], out2["done_cost"])
 
 
-def test_wide_beam_falls_back_to_xla():
-    """Reference decode.sh uses beam 200 — far past the kernel's VMEM
-    budget; the mode selector must route it to the XLA path."""
+def test_wide_beam_supported_extreme_falls_back():
+    """Reference decode.sh uses beam 200 — now IN kernel scope (fori
+    selection rounds + L-chunked match tensor); only truly extreme
+    configurations route to the XLA path."""
     rec = _build("interpret")
     rec.init_beam_search(200)
+    assert rec._beam_search._loop_kernel_mode() == "interpret"
+    rec.init_beam_search(1000)   # past MAX_LOOP_BEAM
     assert rec._beam_search._loop_kernel_mode() is None
     rec.init_beam_search(3)
     assert rec._beam_search._loop_kernel_mode() == "interpret"
-    # very long audio also falls back (estimated match tensor too big)
+    # very long audio also falls back (per-utterance alignment state
+    # alone exceeds the budget even with match-tensor chunking)
     assert rec._beam_search._loop_kernel_mode(
-        num_frames=5_000_000) is None
+        num_frames=50_000_000) is None
 
 
 def test_group_autosizing():
@@ -198,3 +202,129 @@ def test_group_autosizing():
     assert bs._loop_group(200, 250) == 16
     assert bs._loop_group(1600, 250) == 2   # long audio: smaller groups
     assert bs._loop_group(400000, 250) == 1  # never below 1
+
+
+# ---------------------------------------------------------------------------
+# LM shallow fusion in the kernel + wide beams / chunked energies
+# ---------------------------------------------------------------------------
+
+LM_ARPA_FST = None  # built lazily per tmp dir
+
+
+def _lm_files(tmp_path):
+    """A small bigram LM with real backoff epsilon arcs (multi-state
+    live sets, K_arc > 1 closures) over the 5-char net alphabet."""
+    from attention_lvcsr_tpu.ops.fst import arpa_to_fst, write_fst_text
+    arpa_text = """
+\\data\\
+ngram 1=7
+ngram 2=6
+
+\\1-grams:
+-99  <s>  -0.2
+-1.2  </s>
+-0.5  a  -0.4
+-0.6  b  -0.3
+-0.8  c  -0.2
+-1.0  d  -0.5
+-0.9  E  -0.1
+
+\\2-grams:
+-0.15  a b
+-0.2  b c
+-0.25  c E
+-0.3  a c
+-0.4  d a
+-0.35  b E
+\\end\\
+""".strip().splitlines()
+    syms = {"a": 1, "b": 2, "c": 3, "d": 4, "E": 5}
+    fst = arpa_to_fst(arpa_text, syms)
+    path = str(tmp_path / "bigram.fst.txt")
+    write_fst_text(fst, path)
+    with open(path + ".syms", "w") as f:
+        for s, i in syms.items():
+            f.write(f"{s} {i}\n")
+    return path
+
+
+def _build_lm(use_pallas, lm_path, lm_overrides=None, beam=3, seed=7):
+    lm = {"path": lm_path, "weight": 0.7, "no_transition_cost": 12.0}
+    lm.update(lm_overrides or {})
+    cfg = dict(NET_CONFIG, use_pallas=use_pallas, lm=lm,
+               character_map={"a": 0, "b": 1, "c": 2, "d": 3, "E": 4})
+    rec = SpeechRecognizer(cfg, init_config=INIT, seed=seed)
+    rec.init_beam_search(beam)
+    return rec
+
+
+def _search_both_lm(tmp_path, lm_overrides=None, beam=3, **kwargs):
+    lm_path = _lm_files(tmp_path)
+    inputs, mask = _batch()
+    out = {}
+    for name, mode in [("xla", "never"), ("loop", "interpret")]:
+        rec = _build_lm(mode, lm_path, lm_overrides, beam=beam)
+        if name == "loop":
+            assert rec._beam_search._loop_kernel_mode() == "interpret", \
+                "LM fusion config unexpectedly out of kernel scope"
+        out[name] = rec.beam_search(inputs, mask, as_arrays=True,
+                                    **kwargs)
+    return out["xla"], out["loop"]
+
+
+def test_lm_fusion_kernel_parity(tmp_path):
+    """In-kernel FST shallow fusion == the XLA fusion path exactly
+    (tokens) / to float tolerance (costs)."""
+    ref, loop = _search_both_lm(tmp_path, char_discount=0.1)
+    _assert_parity(ref, loop)
+
+
+def test_lm_fusion_kernel_parity_flag_combos(tmp_path):
+    """ShallowFusionReadout normalization flags and am_beta."""
+    for overrides in (
+            {"am_beta": 0.5, "normalize_am_weights": True},
+            {"normalize_am_weights": False,
+             "normalize_tot_weights": True},
+            {"normalize_lm_weights": True, "weight": 0.3},
+    ):
+        ref, loop = _search_both_lm(tmp_path, lm_overrides=overrides)
+        _assert_parity(ref, loop)
+
+
+def test_lm_fusion_wide_beam_parity(tmp_path):
+    """Wide beam (fori-loop selection rounds) + LM fusion together."""
+    ref, loop = _search_both_lm(tmp_path, beam=40, char_discount=0.05)
+    _assert_parity(ref, loop)
+
+
+def test_wide_beam_fori_parity():
+    """Beam past UNROLL_SLOTS uses fori_loop selection rounds — results
+    must be identical to the unrolled/XLA semantics."""
+    inputs, mask = _batch()
+    out = {}
+    for name, mode in [("xla", "never"), ("loop", "interpret")]:
+        rec = _build(mode)
+        rec.init_beam_search(40)
+        out[name] = rec.beam_search(inputs, mask, as_arrays=True,
+                                    char_discount=0.1)
+    _assert_parity(out["xla"], out["loop"])
+
+
+def test_l_chunked_energies_parity(monkeypatch):
+    """Long audio: the match tensor is computed in L-chunks — identical
+    results to the unchunked kernel and the XLA path."""
+    from attention_lvcsr_tpu.ops.pallas import beam_loop
+    rng = np.random.RandomState(5)
+    inputs = rng.randn(2, 160, 6).astype("float32")
+    mask = (np.arange(160)[None] < np.array([[160], [140]])).astype("f")
+    out = {}
+    for name, mode, chunk in [("xla", "never", None),
+                              ("loop", "interpret", 128)]:
+        if chunk is not None:
+            monkeypatch.setattr(beam_loop, "pick_l_chunk",
+                                lambda *a, **k: chunk)
+        rec = _build(mode)
+        rec.init_beam_search(3)
+        out[name] = rec.beam_search(inputs, mask, as_arrays=True,
+                                    char_discount=0.1)
+    _assert_parity(out["xla"], out["loop"])
