@@ -37,9 +37,13 @@ decoding hook, ``blocks/search.py:368-371`` /
   reference's finish-time filter (invalid prefixes never waste beam
   slots) while accepting exactly the same solution set;
 * an arbitrary Python callable ``fn(utterance_inputs, symbols) -> bool``
-  is applied on the host to the K kept finished hypotheses (the
-  reference filters at insertion time over all finished candidates; with
-  a beam-sized done set the host filter sees only the kept K).
+  runs at INSERTION time, exactly like the reference: each step's
+  finishing candidates are validated through a ``jax.pure_callback``
+  before they may enter the done set, so a rejected candidate can never
+  crowd a valid one out of the K done slots and the beam keeps
+  searching.  (``symbols`` includes the final EOL, no BOS.)  This pays
+  one host round-trip per step that finishes a candidate — the
+  on-device :class:`DecodeConstraint` is the fast path.
 """
 from __future__ import annotations
 
@@ -175,11 +179,17 @@ class BeamSearch:
             raise TypeError(
                 "validate_solution_function must be a DecodeConstraint, "
                 "a callable, or None")
+        if post_filter is not None and mesh is not None:
+            raise ValueError(
+                "a host validate_solution_function cannot run under a "
+                "sharded mesh decode (host callbacks don't partition); "
+                "use a DecodeConstraint instead")
         # the whole-loop kernel is a single-device program; sharded decode
         # uses the XLA path, which the SPMD partitioner splits over 'data'
         loop_mode = (self._loop_kernel_mode(
                          num_frames=np.shape(inputs)[1])
-                     if constraint is None and mesh is None else None)
+                     if constraint is None and post_filter is None
+                     and mesh is None else None)
         if loop_mode is not None:
             out = self._search_loop_kernel(
                 params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
@@ -191,34 +201,27 @@ class BeamSearch:
                 interpret=loop_mode == "interpret")
         else:
             key = (inputs.shape, stop_on, bool(ignore_first_eol),
-                   constraint is not None)
-            if key not in self._jitted:
-                self._jitted[key] = jax.jit(functools.partial(
+                   constraint is not None, post_filter is not None)
+            # the host filter is baked into the jitted closure; cache
+            # entries carry it so a DIFFERENT callable recompiles
+            # instead of silently reusing the stale one
+            cached = self._jitted.get(key)
+            if cached is None or cached[1] is not post_filter:
+                self._jitted[key] = (jax.jit(functools.partial(
                     self._search_core, stop_on=stop_on,
                     ignore_first_eol=bool(ignore_first_eol),
-                    use_constraint=constraint is not None))
+                    use_constraint=constraint is not None,
+                    host_filter=post_filter)), post_filter)
             cargs = ()
             if constraint is not None:
                 cargs = (jnp.asarray(constraint.trans),
                          jnp.asarray(constraint.final))
-            out = self._jitted[key](
+            out = self._jitted[key][0](
                 params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
                 jnp.int32(eol_symbol), jnp.int32(max_length),
                 jnp.float32(char_discount), jnp.float32(round_to_inf),
                 *cargs)
         out = {k: np.asarray(v) for k, v in out.items()}
-        if post_filter is not None:
-            out["done_valid"] = out["done_valid"].copy()
-            out["done_adjusted"] = out["done_adjusted"].copy()
-            inputs_np = np.asarray(inputs)
-            for u in range(out["done_valid"].shape[0]):
-                for k in range(out["done_valid"].shape[1]):
-                    if not out["done_valid"][u, k]:
-                        continue
-                    seq = list(out["done_out"][u, k, :out["done_len"][u, k]])
-                    if not post_filter(inputs_np[u], seq):
-                        out["done_valid"][u, k] = False
-                        out["done_adjusted"][u, k] = INF
         if as_arrays:
             return out
         return self._to_lists(out)
@@ -460,12 +463,14 @@ class BeamSearch:
                      max_length, char_discount, round_to_inf,
                      ctrans=None, cfinal=None, *,
                      stop_on="patience", ignore_first_eol=False,
-                     use_constraint=False):
+                     use_constraint=False, host_filter=None):
         net, K = self.net, self.beam_size
         U = inputs.shape[0]
         L = inputs.shape[1]  # output buffer bound; max_length <= T frames
         V = self.recognizer.num_phonemes
 
+        # the host filter sees the ORIGINAL features, not the bf16 cast
+        raw_inputs = inputs
         if self.compute_dtype is not None:
             dtype = jnp.dtype(self.compute_dtype)
             params = _cast_tree(params, dtype)
@@ -608,6 +613,31 @@ class BeamSearch:
             # after the stop decision must not enter the done set.
             finishing = (is_eos & (step_costs < round_to_inf)
                          & (prev_costs < INF / 2) & ~stopped[:, None])
+            if host_filter is not None:
+                # insertion-time validation (reference
+                # blocks/search.py:365-371): every finishing candidate is
+                # checked on the host BEFORE it may enter the done set,
+                # so a rejected candidate never crowds out a valid one.
+                # The callback fires only on steps that finish something.
+                def _host_validate(fin, outs, step, feats):
+                    fin = np.array(fin)
+                    outs = np.asarray(outs)
+                    n = int(step) + 1          # length incl. the EOL
+                    feats = np.asarray(feats)
+                    for u, k in zip(*np.nonzero(fin)):
+                        seq = list(outs[u, k, :min(n, outs.shape[2])])
+                        if not host_filter(feats[u], seq):
+                            fin[u, k] = False
+                    return fin
+
+                finishing = jax.lax.cond(
+                    finishing.any(),
+                    lambda fin, outs, step, feats: jax.pure_callback(
+                        _host_validate,
+                        jax.ShapeDtypeStruct(finishing.shape, jnp.bool_),
+                        fin, outs, step, feats),
+                    lambda fin, outs, step, feats: fin,
+                    finishing, alive_out, i, raw_inputs)
             adjusted = chosen_costs - char_discount * (alive_len + 1.0)
 
             # merge finishing hyps into the done set: 2K candidates -> K

@@ -288,3 +288,30 @@ def test_host_callable_post_filter():
                               validate_solution_function=validate)
     assert all(h[0] != banned for h in filtered)
     assert filtered and filtered[0][0] == free[1][0]
+
+
+def test_host_filter_runs_at_insertion_time():
+    """K invalid candidates finishing early must not crowd a later valid
+    one out of the K done slots (reference blocks/search.py:365-371
+    filters every finishing candidate BEFORE insertion; a post-hoc filter
+    over the kept K would return nothing here)."""
+    steps, K = 8, 2
+    table = np.full((steps, V, V), 9.0, np.float32)
+    table[0, :, 0] = 0.1            # (0,)       and
+    table[0, :, 1] = 0.5            # (1,)       seed the beam
+    table[1, 0, EOL] = 0.1          # (0, EOL)         cost 0.2   too short
+    table[1, 1, 3] = 0.2            # (1, 3)
+    table[2, 3, 3] = 0.3            # (1, 3, 3)
+    table[2, 3, EOL] = 0.35         # (1, 3, EOL)      cost 1.05  too short
+    table[3, 3, EOL] = 0.1          # (1, 3, 3, EOL)   cost 1.1   valid
+
+    free = _device_search(table, K, steps)
+    # both done slots go to too-short strings: the valid one is crowded out
+    assert [h[0] for h in free][:2] == [(0, EOL), (1, 3, EOL)]
+
+    def validate(utt_inputs, symbols):
+        return len(symbols) > 3     # demands >= 3 symbols before the EOL
+
+    filtered = _device_search(table, K, steps,
+                              validate_solution_function=validate)
+    assert filtered and filtered[0][0] == (1, 3, 3, EOL)
