@@ -214,14 +214,19 @@ class LSTM(RecurrentCell):
     def scan(self, seqs, mask=None, initial_states=None, pallas=None):
         if pallas in ("compile", "interpret", "train",
                       "train_interpret"):
-            # one fused kernel pair serves both the inference and the
-            # training (custom VJP) paths
-            from attention_lvcsr_tpu.ops.pallas.lstm_train import \
-                lstm_scan_train
             batch = seqs["inputs"].shape[1]
             if initial_states is None:
                 initial_states = self.initial_states(batch)
-            states, cells = lstm_scan_train(
+            if pallas in ("train", "train_interpret"):
+                # differentiable fused scan (custom VJP, streams gate
+                # residuals for the backward pass)
+                from attention_lvcsr_tpu.ops.pallas.lstm_train import \
+                    lstm_scan_train as scan_fn
+            else:
+                # inference: forward-only kernel, no residual HBM traffic
+                from attention_lvcsr_tpu.ops.pallas.lstm_train import \
+                    lstm_scan as scan_fn
+            states, cells = scan_fn(
                 seqs["inputs"], mask, initial_states["states"],
                 initial_states["cells"], self.W_state,
                 self.W_cell_to_in, self.W_cell_to_forget,

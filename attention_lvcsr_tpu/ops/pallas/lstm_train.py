@@ -275,6 +275,93 @@ def _lstm_train_bwd(interpret, res, cts):
 _lstm_train.defvjp(_lstm_train_fwd, _lstm_train_bwd)
 
 
+def _fwd_only_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref,
+                     pcf_ref, pco_ref, h_out, c_out, h_sc, c_sc, *,
+                     dim, chunk):
+    # inference sibling of _fwd_kernel: identical recurrence, but no
+    # gate residuals streamed to HBM (2 instead of 6 (T,B,D) outputs)
+    f32 = jnp.float32
+    D = dim
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_sc[...] = h0_ref[0].astype(f32)
+        c_sc[...] = c0_ref[0].astype(f32)
+
+    h = h_sc[...]
+    c = c_sc[...]
+    pci = pci_ref[:].astype(f32)
+    pcf = pcf_ref[:].astype(f32)
+    pco = pco_ref[:].astype(f32)
+    w = w_ref[:].astype(f32)
+    for j in range(chunk):
+        acts = _dot(h, w) + x_ref[j].astype(f32)
+        i = jax.nn.sigmoid(acts[:, :D] + c * pci)
+        f = jax.nn.sigmoid(acts[:, D:2 * D] + c * pcf)
+        z = jnp.tanh(acts[:, 2 * D:3 * D])
+        new_c = f * c + i * z
+        o = jax.nn.sigmoid(acts[:, 3 * D:] + new_c * pco)
+        new_h = o * jnp.tanh(new_c)
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)
+        new_h = m * new_h + (1.0 - m) * h
+        new_c = m * new_c + (1.0 - m) * c
+        h_out[j] = new_h.astype(h_out.dtype)
+        c_out[j] = new_c.astype(c_out.dtype)
+        h, c = new_h, new_c
+    h_sc[...] = h
+    c_sc[...] = c
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_scan(x_proj, mask, h0, c0, w_state, pci, pcf, pco,
+              interpret=False):
+    """Forward-only fused LSTM scan for the inference/serving paths.
+
+    Same recurrence as :func:`lstm_scan_train` but streams only states
+    and cells to HBM — no gate residuals, mirroring ``gru_scan`` vs
+    ``gru_scan_train`` (3x less output HBM traffic when no backward
+    pass will run).
+    """
+    T, B, D4 = x_proj.shape
+    D = D4 // 4
+    if mask is None:
+        mask = jnp.ones((T, B), x_proj.dtype)
+    C = min(CHUNK, T)
+    T_pad = -(-T // C) * C
+    x_proj = _pad_time(x_proj, T_pad)
+    mask_p = _pad_time(mask, T_pad)
+    kernel = functools.partial(_fwd_only_kernel, dim=D, chunk=C)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    seq = lambda d: pl.BlockSpec((C, B, d), lambda t: (t, 0, 0))
+    hs, cs = pl.pallas_call(
+        kernel,
+        grid=(T_pad // C,),
+        in_specs=[
+            seq(4 * D),                                       # x
+            pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),     # mask
+            pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),     # h0
+            pl.BlockSpec((1, B, D), lambda t: (0, 0, 0)),     # c0
+            pl.BlockSpec((D, 4 * D), lambda t: (0, 0)),
+            pl.BlockSpec((1, D), lambda t: (0, 0)),           # pci
+            pl.BlockSpec((1, D), lambda t: (0, 0)),           # pcf
+            pl.BlockSpec((1, D), lambda t: (0, 0)),           # pco
+        ],
+        out_specs=(seq(D), seq(D)),
+        out_shape=(jax.ShapeDtypeStruct((T_pad, B, D), x_proj.dtype),
+                   jax.ShapeDtypeStruct((T_pad, B, D), x_proj.dtype)),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)] * 2
+        if _HAS_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(x_proj, mask_p.reshape(T_pad, 1, B), h0[None], c0[None], w_state,
+      pci.reshape(1, D), pcf.reshape(1, D), pco.reshape(1, D))
+    return hs[:T], cs[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lstm_scan_train(x_proj, mask, h0, c0, w_state, pci, pcf, pco,
                     interpret=False):

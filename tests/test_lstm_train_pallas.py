@@ -102,3 +102,22 @@ def test_lstm_cell_scan_uses_kernel(inputs):
             jax.tree_util.tree_flatten_with_path(g_ref)[0]):
         assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
                         atol=2e-5, err_msg=jax.tree_util.keystr(pa))
+
+
+def test_forward_only_scan_matches_xla(inputs):
+    """lstm_scan (inference kernel, no gate residuals) == the XLA scan."""
+    from attention_lvcsr_tpu.ops.pallas.lstm_train import lstm_scan
+    x, mask, h0, c0, w, pci, pcf, pco = inputs
+    ref_h, ref_c = _xla_lstm(x, mask, h0, c0, w, pci, pcf, pco)
+    out_h, out_c = lstm_scan(x, mask, h0, c0, w, pci, pcf, pco,
+                             interpret=True)
+    assert_allclose(np.asarray(out_h), np.asarray(ref_h), rtol=1e-5,
+                    atol=1e-6)
+    assert_allclose(np.asarray(out_c), np.asarray(ref_c), rtol=1e-5,
+                    atol=1e-6)
+    # maskless call (the specialized no-mask path)
+    out_h2, _ = lstm_scan(x, None, h0, c0, w, pci, pcf, pco,
+                          interpret=True)
+    ones_h, _ = _xla_lstm(x, jnp.ones((T, B)), h0, c0, w, pci, pcf, pco)
+    assert_allclose(np.asarray(out_h2), np.asarray(ones_h), rtol=1e-5,
+                    atol=1e-6)
