@@ -100,6 +100,68 @@ def save_parameters(path: str, parameters: Mapping[str, np.ndarray]):
     secure_write(path, lambda f: f.write(_npz_bytes(parameters)))
 
 
+def gather_tree(tree):
+    """Host-gather a (possibly mesh-sharded) pytree to numpy arrays.
+
+    Single-host meshes (all shards addressable) gather via ``np.asarray``;
+    multi-host global arrays go through ``process_allgather`` so every
+    process sees the full value (role of the parameter collection in
+    ``blocks/serialization.py:145-190``, which had no sharding to undo).
+    """
+    def gather(leaf):
+        if getattr(leaf, "is_fully_addressable", True):
+            return np.asarray(leaf)
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(leaf, tiled=True))
+    return jax.tree.map(gather, tree)
+
+
+def save_sharded_checkpoint(path: str, params, opt_state=None,
+                            log_state=None, meta: Optional[Dict] = None):
+    """Save from a mesh-sharded train state: gather, then tar.
+
+    The on-disk format is identical to :func:`save_checkpoint` (flat
+    path-keyed npz) — checkpoints are mesh-shape agnostic and restore
+    into any mesh via :func:`restore_sharded_train_state`.
+    """
+    from attention_lvcsr_tpu.models.recognizer import param_path_dict
+    save_checkpoint(path, param_path_dict(gather_tree(params)),
+                    opt_state=gather_tree(opt_state)
+                    if opt_state is not None else None,
+                    log_state=log_state, meta=meta)
+
+
+def restore_sharded_train_state(path: str, optimizer, mesh):
+    """Load a checkpoint and place it on ``mesh`` (any dp x tp shape).
+
+    Returns ``(params, opt_state)``: parameters are resharded per the
+    mesh's partition rules; saved optimizer-state values are placed with
+    the shardings a fresh ``optimizer.init`` of the sharded parameters
+    would carry (eager ``init`` propagates input shardings), so training
+    resumes sharded without a replicated detour.  A checkpoint saved from
+    a dp4 x tp2 mesh restores into dp2 x tp4, dp8, or a single device.
+    """
+    from attention_lvcsr_tpu.models.recognizer import params_from_path_dict
+    from attention_lvcsr_tpu.parallel.mesh import shard_params
+
+    state = load_checkpoint(path)
+    params = shard_params(params_from_path_dict(state["parameters"]), mesh)
+    opt_state = None
+    if state["opt_state"] is not None:
+        template = optimizer.init(params)
+        loaded = state["opt_state"]
+        treedef = jax.tree.structure(template)
+        if jax.tree.structure(loaded) != treedef:
+            raise ValueError(
+                "checkpoint optimizer state does not match the optimizer "
+                f"(saved {jax.tree.structure(loaded)}, need {treedef})")
+        opt_state = jax.tree.map(
+            lambda t, v: jax.device_put(np.asarray(v), t.sharding),
+            template, loaded)
+    return params, opt_state
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     out: Dict[str, Any] = {"parameters": load_parameters(path)}
     if tarfile.is_tarfile(path):
