@@ -146,6 +146,67 @@ def jax_fbank(wav, sample_rate: int = 16000, num_bins: int = 40,
     return mels
 
 
+def device_frontend(wav_batch, num_frames=None, sample_rate: int = 16000,
+                    num_bins: int = 40, use_energy: bool = True,
+                    deltas_order: int = 2, interpret: bool = False):
+    """On-device fbank+deltas for a (B, N) waveform batch.
+
+    Dispatches to the fused Pallas kernel (``ops/pallas/frontend.py``)
+    when the whole-utterance working set fits the VMEM guard, else to
+    the jitted XLA composition of :func:`jax_fbank` + deltas.  Returns
+    (B, T, D) float32; rows past ``num_frames[b]`` carry replicated
+    edge features — mask them downstream.
+    """
+    import jax
+
+    from attention_lvcsr_tpu.ops.pallas.common import HAS_PLTPU
+    from attention_lvcsr_tpu.ops.pallas.frontend import (
+        fbank_deltas_pallas, frontend_vmem_bytes)
+
+    frame_length = int(sample_rate * 25.0 / 1000)
+    hop = int(sample_rate * 10.0 / 1000)
+    T = 1 + (wav_batch.shape[1] - frame_length) // hop
+    use_kernel = interpret or (HAS_PLTPU
+                               and jax.default_backend() == "tpu")
+    if use_kernel and \
+            frontend_vmem_bytes(T, num_bins, use_energy) < 64 * 2 ** 20:
+        return fbank_deltas_pallas(
+            wav_batch, num_frames=num_frames, sample_rate=sample_rate,
+            num_bins=num_bins, use_energy=use_energy,
+            deltas_order=deltas_order, interpret=interpret)
+
+    import jax.numpy as jnp
+
+    if num_frames is None:
+        num_frames = jnp.full((wav_batch.shape[0],), T, jnp.int32)
+    num_frames = jnp.clip(jnp.asarray(num_frames, jnp.int32), 1, T)
+
+    def one(w, n):
+        f = jax_fbank(w, sample_rate=sample_rate, num_bins=num_bins,
+                      use_energy=use_energy)
+        row = jnp.arange(f.shape[0])[:, None]
+
+        def clamp(x):
+            # same end-edge semantics as the Pallas kernel: rows past
+            # the true frame count replicate row n-1 before EVERY FIR
+            last = jax.lax.dynamic_slice_in_dim(x, n - 1, 1, 0)
+            return jnp.where(row < n, x, last)
+
+        cur = clamp(f)
+        outs = [cur]
+        coeffs = delta_coeffs()
+        for _ in range(deltas_order):
+            padded = jnp.concatenate(
+                [jnp.repeat(cur[:1], 2, 0), cur,
+                 jnp.repeat(cur[-1:], 2, 0)], axis=0)
+            cur = clamp(sum(float(c) * padded[m:m + f.shape[0]]
+                            for m, c in enumerate(coeffs) if c))
+            outs.append(cur)
+        return jnp.concatenate(outs, axis=1)
+
+    return jax.vmap(one)(jnp.asarray(wav_batch, jnp.float32), num_frames)
+
+
 def jax_add_deltas(feats, order: int = 2, window: int = 2):
     """Delta FIR along time via depthwise convolution (fusable by XLA)."""
     import jax.numpy as jnp

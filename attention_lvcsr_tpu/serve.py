@@ -33,6 +33,25 @@ from typing import List, Optional
 import numpy as np
 
 
+def _frontend_fn(bucket: int, sample_rate: int):
+    """Jitted device frontend for one (bucket, rate) shape — cached."""
+    import functools
+
+    key = (bucket, sample_rate)
+    fn = _frontend_fn._cache.get(key)
+    if fn is None:
+        import jax
+
+        from attention_lvcsr_tpu.data.features import device_frontend
+        fn = jax.jit(functools.partial(device_frontend,
+                                       sample_rate=sample_rate))
+        _frontend_fn._cache[key] = fn
+    return fn
+
+
+_frontend_fn._cache = {}
+
+
 class Transcriber:
     """Recognizer + symbol table -> text results (batched)."""
 
@@ -48,6 +67,32 @@ class Transcriber:
         self.search_kwargs = dict(search_kwargs or {})
         dims = recognizer.net_config.get("input_dims") or {}
         self.expected_dim = dims.get("recordings")
+
+    def features_from_waveform(self, wav: np.ndarray,
+                               sample_rate: int = 16000) -> np.ndarray:
+        """On-device fused fbank+delta frontend, length-bucketed.
+
+        Waveforms are zero-padded to power-of-two second buckets so the
+        jit cache stays bounded; the true frame count rides along so the
+        delta edge replication is exact at the utterance's real end, and
+        the padded rows are sliced off before decoding.
+        """
+        frame_length = int(sample_rate * 25 / 1000)
+        hop = int(sample_rate * 10 / 1000)
+        n = len(wav)
+        if n < frame_length:
+            raise ValueError(
+                f"waveform too short: {n} samples < one {frame_length}"
+                f"-sample frame")
+        t_real = 1 + (n - frame_length) // hop
+        bucket = sample_rate
+        while bucket < n:
+            bucket *= 2
+        padded = np.zeros((1, bucket), np.float32)
+        padded[0, :n] = wav
+        fn = _frontend_fn(bucket, sample_rate)
+        out = fn(padded, np.asarray([t_real], np.int32))
+        return np.asarray(out[0, :t_real])
 
     def _text(self, labels) -> str:
         eos = self.recognizer.eos_label
@@ -229,9 +274,10 @@ def make_server(transcriber: Transcriber, host: str = "127.0.0.1",
                 if "features" in req:
                     feats = np.asarray(req["features"], np.float32)
                 elif "waveform" in req:
-                    from attention_lvcsr_tpu.data.features import \
-                        extract_features
-                    feats = extract_features(
+                    # fused on-device frontend (Pallas fbank+deltas);
+                    # the host numpy path remains in data/features.py
+                    # for offline dataset conversion
+                    feats = transcriber.features_from_waveform(
                         np.asarray(req["waveform"], np.float32),
                         sample_rate=int(req.get("sample_rate", 16000)))
                 else:

@@ -303,6 +303,53 @@ def bench_train(compute_dtype=None):
     return out
 
 
+def bench_frontend(batch=16, seconds=8, repeats=REPEATS):
+    """Fused Pallas log-mel+delta frontend vs the XLA composition.
+
+    Serving was frontend-bound when features were computed on the host
+    (README round-2: 30 utt/s through a 1-CPU frontend vs 301 utt/s
+    chip decode capability); this row shows the on-device frontend's
+    headroom.  Pipelined timing (10 dispatches per D2H pull) isolates
+    compute from the tunnel's round-trip latency floor.
+    """
+    import jax
+
+    from attention_lvcsr_tpu.data.features import (jax_add_deltas,
+                                                   jax_fbank)
+    from attention_lvcsr_tpu.ops.pallas.frontend import fbank_deltas_pallas
+
+    rng = np.random.RandomState(0)
+    N = 16000 * seconds
+    wav = jax.device_put((0.1 * rng.randn(batch, N)).astype("float32"))
+    nf = jax.device_put(np.full((batch,), 1 + (N - 400) // 160,
+                                np.int32))
+
+    def timed(fn, *args):
+        np.asarray(fn(*args))                      # compile + settle
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(10)]
+            np.asarray(outs[-1])
+            times.append((time.perf_counter() - t0) / 10)
+        return statistics.median(times)
+
+    pallas_s = timed(jax.jit(
+        lambda b, n: fbank_deltas_pallas(b, num_frames=n).sum()),
+        wav, nf)
+    xla_s = timed(jax.jit(lambda b: jax.vmap(
+        lambda w: jax_add_deltas(jax_fbank(w)))(b).sum()), wav)
+    audio_s = batch * seconds
+    return {
+        "pallas_ms_per_batch": round(pallas_s * 1e3, 2),
+        "xla_ms_per_batch": round(xla_s * 1e3, 2),
+        "batch": batch, "utt_seconds": seconds,
+        "pallas_utt_per_s": round(batch / pallas_s, 1),
+        "pallas_realtime_factor": round(audio_s / pallas_s, 1),
+        "pallas_vs_xla": round(xla_s / pallas_s, 2),
+    }
+
+
 def main():
     import jax
     _enable_compilation_cache()
@@ -316,6 +363,7 @@ def main():
     lm10 = bench_decode_lm("beam10", beam=10)
     lm200 = bench_decode_lm("beam200", beam=200, repeats=3)
     lm_csr = bench_decode_lm("beam10-csr", beam=10, csr=True)
+    frontend = bench_frontend()
     train = bench_train()
     train_bf16 = bench_train("bfloat16")
 
@@ -331,6 +379,7 @@ def main():
             "decode_lm_beam10": lm10,
             "decode_lm_beam200": lm200,
             "decode_lm_beam10_csr": lm_csr,
+            "frontend": frontend,
             "train_step": train,
             "train_step_bf16": train_bf16,
             "batch": BATCH, "frames": FRAMES, "beam": BEAM,
