@@ -122,7 +122,7 @@ def build_eol_adapter(chars: Dict[str, int], use_bol: bool = False,
 def build_decoding_graph(arpa, net_chars: Dict[str, int],
                          out_dir: Optional[str] = None,
                          use_bol: bool = False,
-                         deterministic: bool = True,
+                         deterministic: bool = False,
                          max_states: int = 7,
                          no_transition_cost: float = 1e12,
                          spc: str = "<spc>", eol: str = "<eol>"):

@@ -21,11 +21,21 @@ echo "graphs in $OUT"
 
 # Full character decoding graph (create_character_decoding_graph.sh role):
 # L∘G -> determinize(log) -> rmsymbols -> rmeps -> minimize -> eol adapter
-# -> determinize -> minimize -> push -> LG_pushed(.npz).
+# -> minimize -> push -> LG_pushed(.npz).  Like the reference's
+# lm2fst.sh default, the eol-adapter composition is NOT determinized
+# (log-semiring determinization there can explode the state count; the
+# decoder's FST state-set fusion handles nondeterminism).  Pass
+# LVSR_DETERMINISTIC_LG=1 for the --deterministic variant, which also
+# enables the ext-determinism check.
 # Requires the network character table (dataset value_map) as $3.
 NET_CHARS=${3:-}
 if [ -n "$NET_CHARS" ]; then
-  python tools/lm_tools.py build-lg "$ARPA" "$NET_CHARS" "$OUT"
-  python tools/lm_tools.py check-deterministic "$OUT/LG.fst.txt"
+  if [ -n "${LVSR_DETERMINISTIC_LG:-}" ]; then
+    python tools/lm_tools.py build-lg --deterministic \
+        "$ARPA" "$NET_CHARS" "$OUT"
+    python tools/lm_tools.py check-deterministic "$OUT/LG.fst.txt"
+  else
+    python tools/lm_tools.py build-lg "$ARPA" "$NET_CHARS" "$OUT"
+  fi
   echo "decoding graph (LG_pushed + npz) in $OUT"
 fi

@@ -278,7 +278,10 @@ def _chars_of(text):
 @pytest.fixture(scope="module")
 def graph(tmp_path_factory):
     out = tmp_path_factory.mktemp("lm_graphs")
-    return build_decoding_graph(TOY_ARPA, NET_CHARS,
+    # deterministic=True: these tests exercise the --deterministic
+    # variant's contract (the pipeline default is the reference's
+    # nondeterministic recipe, bin/lm2fst.sh)
+    return build_decoding_graph(TOY_ARPA, NET_CHARS, deterministic=True,
                                 out_dir=str(out)), out
 
 

@@ -295,7 +295,7 @@ def cmd_build_lg(args):
     net_chars = F.read_symbols(args.net_chars)
     result = build_decoding_graph(
         args.arpa, net_chars, out_dir=args.out_dir,
-        use_bol=args.use_bol, deterministic=not args.nondeterministic,
+        use_bol=args.use_bol, deterministic=args.deterministic,
         max_states=args.max_states,
         no_transition_cost=args.no_transition_cost)
     lg = result["LG_pushed"]
@@ -407,7 +407,8 @@ def main(argv=None):
     a.add_argument("arpa"); a.add_argument("net_chars")
     a.add_argument("out_dir")
     a.add_argument("--use-bol", action="store_true")
-    a.add_argument("--nondeterministic", action="store_true")
+    a.add_argument("--deterministic", action="store_true",
+               help="determinize after the eol adapter (the reference's\n               lm2fst.sh --deterministic flag; default off — log-semiring\n               determinization there can explode state counts)")
     a.add_argument("--max-states", type=int, default=7)
     a.add_argument("--no-transition-cost", type=float, default=1e12)
     a.set_defaults(fn=cmd_build_lg)

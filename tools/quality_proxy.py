@@ -1,0 +1,508 @@
+#!/usr/bin/env python
+"""End-to-end quality-parity proxy: synthetic language -> LG_pushed ->
+train -> decode with/without LM fusion -> QUALITY json.
+
+WSJ audio is not available in this environment, so this is the
+strongest reproducible stand-in for the reference's headline experiment
+(``/root/reference/exp/wsj/README.md:38-75``: train wsj_paper7, decode
+with the trigram ``LG_pushed``, WER improves over no-LM decoding):
+
+1. generate a synthetic word language (skewed Markov bigram chain over
+   random letter-spelled words) and sample a corpus;
+2. estimate a Witten-Bell trigram ARPA from the training half;
+3. build the full character decoding graph ``LG_pushed`` through the
+   OpenFST-free pipeline (``ops/lm_graph.build_decoding_graph`` — the
+   lm2fst.sh role) and pack it for the device;
+4. render utterances as synthetic acoustics (per-character spectral
+   templates, variable durations, additive noise, plus deliberately
+   CONFUSABLE letter pairs the LM must disambiguate);
+5. train the wsj_paper-shaped model (4x250 BiGRU, conv attention,
+   expanding-prior pretraining stage then windowed main stage) through
+   the real multistage driver;
+6. decode the held-out test set four ways — no-LM beam 10, LM-fusion
+   beam 10, LM-fusion beam 200, no-LM beam 200 — scoring CER and WER
+   and timing each configuration.
+
+One command reproduces it:
+
+    python tools/quality_proxy.py --out QUALITY_r03.json
+
+``--fast`` shrinks everything for CI smoke runs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+import numpy as np
+
+LETTERS = "ABCDEFGHIJKL"
+
+
+# ---------------------------------------------------------------------------
+# synthetic language
+# ---------------------------------------------------------------------------
+
+def make_language(rng, num_words=30, min_wlen=2, max_wlen=5,
+                  branching=5):
+    """Random letter-spelled words + a skewed Markov bigram sampler."""
+    words = set()
+    while len(words) < num_words:
+        n = rng.randint(min_wlen, max_wlen + 1)
+        words.add("".join(LETTERS[rng.randint(len(LETTERS))]
+                          for _ in range(n)))
+    words = sorted(words)
+    W = len(words)
+    # each word allows `branching` successors with skewed probabilities
+    succ = {}
+    for i in range(W + 1):                    # W = sentence start state
+        nxt = rng.choice(W, size=min(branching, W), replace=False)
+        logits = rng.randn(len(nxt)) * 1.5
+        p = np.exp(logits)
+        succ[i] = (nxt, p / p.sum())
+    return words, succ
+
+
+def sample_corpus(words, succ, rng, n_sentences, min_len=4, max_len=9):
+    W = len(words)
+    corpus = []
+    for _ in range(n_sentences):
+        n = rng.randint(min_len, max_len + 1)
+        state, sent = W, []
+        for _ in range(n):
+            nxt, p = succ[state]
+            state = int(nxt[rng.choice(len(nxt), p=p)])
+            sent.append(words[state])
+        corpus.append(sent)
+    return corpus
+
+
+# ---------------------------------------------------------------------------
+# Witten-Bell trigram ARPA estimation
+# ---------------------------------------------------------------------------
+
+def estimate_arpa(corpus, vocab, path):
+    """Interpolated Witten-Bell trigram, written as a backoff ARPA.
+
+    With P(w|h) = (c(hw) + T(h) P_low(w|h')) / (c(h) + T(h)) for seen
+    h,w and backoff weight bow(h) = T(h) / (c(h) + T(h)), the model
+    normalizes exactly (T(h) = distinct continuations of h).
+    """
+    from collections import Counter, defaultdict
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for sent in corpus:
+        toks = ["<s>"] + sent + ["</s>"]
+        for i, w in enumerate(toks):
+            c1[(w,)] += 1
+            if i >= 1:
+                c2[tuple(toks[i - 1:i + 1])] += 1
+            if i >= 2:
+                c3[tuple(toks[i - 2:i + 1])] += 1
+
+    V = len(vocab) + 2                        # + <s>, </s>
+    # unigrams: WB against a uniform prior, floor for unseen vocab
+    total1 = sum(c1.values())
+    T1 = len(c1)
+    p1 = {}
+    for w in list(vocab) + ["<s>", "</s>"]:
+        p1[w] = (c1.get((w,), 0) + T1 / V) / (total1 + T1)
+    # <s> is never predicted: ARPA convention gives it -99
+    norm = sum(v for k, v in p1.items() if k != "<s>")
+    for w in p1:
+        p1[w] /= norm
+
+    def wb(counts, lower_p):
+        hist = defaultdict(list)
+        for ngram, c in counts.items():
+            hist[ngram[:-1]].append((ngram[-1], c))
+        probs, bows = {}, {}
+        for h, items in hist.items():
+            ch = sum(c for _, c in items)
+            Th = len(items)
+            for w, c in items:
+                probs[h + (w,)] = (c + Th * lower_p(h, w)) / (ch + Th)
+            bows[h] = Th / (ch + Th)
+        return probs, bows
+
+    p2, bow1 = wb(c2, lambda h, w: p1[w])
+
+    def p2_of(h, w):                          # backoff lookup P(w|h[-1])
+        if (h[-1], w) in p2:
+            return p2[(h[-1], w)]
+        return bow1.get((h[-1],), 1.0) * p1[w]
+
+    p3, bow2 = wb(c3, lambda h, w: p2_of(h, w))
+
+    def lg(x):
+        return round(math.log10(max(x, 1e-30)), 6)
+
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(p1)}\n")
+        f.write(f"ngram 2={len(p2)}\n")
+        f.write(f"ngram 3={len(p3)}\n\n")
+        f.write("\\1-grams:\n")
+        for w, p in sorted(p1.items()):
+            prob = -99 if w == "<s>" else lg(p)
+            bow = bow1.get((w,))
+            f.write(f"{prob} {w}" + (f" {lg(bow)}" if bow else "")
+                    + "\n")
+        f.write("\n\\2-grams:\n")
+        for ngram, p in sorted(p2.items()):
+            bow = bow2.get(ngram)
+            f.write(f"{lg(p)} {' '.join(ngram)}"
+                    + (f" {lg(bow)}" if bow else "") + "\n")
+        f.write("\n\\3-grams:\n")
+        for ngram, p in sorted(p3.items()):
+            f.write(f"{lg(p)} {' '.join(ngram)}\n")
+        f.write("\n\\end\\\n")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# synthetic acoustics
+# ---------------------------------------------------------------------------
+
+def make_dataset(path, corpus, value_map, rng, feat_dim=40,
+                 frames_lo=6, frames_hi=10, noise=1.0,
+                 confusable=(("A", "B"), ("C", "D"), ("E", "F")),
+                 confusion_scale=0.25, splits=None):
+    """Render word sentences as (frames, feat_dim) template acoustics.
+
+    ``confusable`` letter pairs share nearly-identical templates
+    (separation ``confusion_scale`` vs the ~2.0 of distinct letters):
+    the acoustic model alone confuses them; the LM's lexical knowledge
+    is what resolves the right word — the effect the proxy must show.
+    """
+    from attention_lvcsr_tpu.data.h5 import DatasetWriter
+
+    templates = {}
+    for ch in value_map:
+        if ch == "<eol>":
+            continue
+        templates[ch] = rng.randn(feat_dim).astype("f") * 2.0
+    for a, b in confusable:
+        if a in templates and b in templates:
+            templates[b] = (templates[a]
+                            + confusion_scale
+                            * rng.randn(feat_dim).astype("f"))
+
+    recordings, labels, uttids, texts = [], [], [], []
+    for i, sent in enumerate(corpus):
+        seq = []
+        for w in sent:
+            if seq:
+                seq.append("<spc>")
+            seq.extend(w)
+        frames = []
+        for ch in seq:
+            n = rng.randint(frames_lo, frames_hi + 1)
+            f = np.tile(templates[ch], (n, 1))
+            frames.append(f + noise * rng.randn(*f.shape).astype("f"))
+        recordings.append(np.concatenate(frames, axis=0))
+        labels.append(np.asarray([value_map[ch] for ch in seq], "int64"))
+        uttids.append(f"utt{i:05d}")
+        texts.append(" ".join(sent))
+
+    writer = DatasetWriter(path)
+    writer.add_vector_source("recordings", recordings)
+    writer.add_vector_source("labels", labels, value_map=value_map)
+    writer.add_text_source("uttids", uttids)
+    bounds = {}
+    start = 0
+    for name, n in splits:
+        bounds[name] = (start, start + n)
+        start += n
+    writer.set_split({name: {src: rng_ for src in
+                             ("recordings", "labels", "uttids")}
+                      for name, rng_ in bounds.items()})
+    writer.close()
+    return texts
+
+
+CONFIG_TEMPLATE = """
+data:
+    dataset_filename: {dataset}
+    name_mapping:
+        train: train
+        valid: valid
+        test: test
+    sources_map:
+        recordings: recordings
+        labels: labels
+        uttids: uttids
+    default_sources: [recordings, labels]
+    batch_size: {batch_size}
+    validation_batch_size: {batch_size}
+    sort_k_batches: 8
+    add_eos: true
+    pad_multiple:
+        recordings: 50
+        labels: 10
+    pad_batches: true
+net:
+    dim_dec: {dim}
+    dims_bidir: {dims_bidir}
+    subsample: {subsample}
+    dim_matcher: {dim}
+    attention_type: content_and_conv
+    conv_n: 20
+    bottom:
+        bottom_class: SpeechBottom
+        dims: []
+    enc_transition: GatedRecurrent
+    dec_transition: GatedRecurrent
+    use_states_for_readout: false
+    post_merge_dims: [{dim}]
+    max_decoded_length_scale: 1.5
+    criterion:
+        name: log_likelihood
+    lm: {{}}
+initialization:
+    /recognizer:
+        weights_init: [IsotropicGaussian, 0.1]
+        biases_init: [Constant, 0.0]
+        rec_weights_init: [Orthogonal]
+regularization:
+    max_norm: 1.0
+training:
+    gradient_threshold: 100.0
+    rules: [adadelta]
+    decay_rate: 0.95
+    epsilon: 1.0e-8
+    seed: 1
+monitoring:
+    validate_every_epochs: 1
+    search_every_epochs: 0
+    search:
+        beam_size: 10
+        char_discount: 0.1
+stages:
+    pretraining:
+        number: 0
+        net:
+            prior:
+                type: expanding
+                initial_begin: 0
+                initial_end: 12
+                min_speed: 0.5
+                max_speed: 1.5
+        training:
+            num_epochs: {pretrain_epochs}
+    main:
+        number: 100
+        net:
+            prior:
+                type: window_around_median
+                before: 30
+                after: 30
+        training:
+            restart_from: _best_ll
+            num_epochs: {main_epochs}
+"""
+
+
+# ---------------------------------------------------------------------------
+# decoding + scoring
+# ---------------------------------------------------------------------------
+
+def decode_and_score(recognizer, data, beam_size, search_kwargs,
+                     batch=16, part="test", limit=None):
+    """Batched beam decode of a dataset part -> CER/WER + timing."""
+    from attention_lvcsr_tpu.ops.error_rate import wer as wer_fn
+
+    recognizer.init_beam_search(beam_size)
+    examples = list(data.get_stream(part, batches=False, shuffle=False))
+    if limit:
+        examples = examples[:limit]
+    stats = dict(cer_errors=0.0, cer_length=0.0, wer_errors=0.0,
+                 wer_length=0.0, empty=0)
+    t_decode = 0.0
+    for i in range(0, len(examples), batch):
+        chunk = examples[i:i + batch]
+        T = max(len(e["recordings"]) for e in chunk)
+        F = chunk[0]["recordings"].shape[1]
+        inputs = np.zeros((len(chunk), T, F), np.float32)
+        mask = np.zeros((len(chunk), T), np.float32)
+        for j, e in enumerate(chunk):
+            t = len(e["recordings"])
+            inputs[j, :t] = e["recordings"]
+            mask[j, :t] = 1.0
+        t0 = time.time()
+        out = recognizer.beam_search(inputs, mask, as_arrays=True,
+                                     **search_kwargs)
+        np.asarray(out["done_out"])
+        t_decode += time.time() - t0
+        for j, e in enumerate(chunk):
+            valid = out["done_valid"][j]
+            if not valid.any():
+                stats["empty"] += 1
+                recognized = []
+            else:
+                adjusted = np.where(valid, out["done_adjusted"][j],
+                                    np.inf)
+                k = int(np.argmin(adjusted))
+                n = int(out["done_len"][j, k])
+                recognized = [int(x) for x in out["done_out"][j, k, :n]]
+            gt = data.decode(np.asarray(e["labels"], np.int64))
+            hyp = data.decode(recognized)
+            stats["cer_errors"] += min(1.0, wer_fn(gt, hyp)
+                                       if hyp else 1.0) * len(gt)
+            stats["cer_length"] += len(gt)
+            gt_words = "".join(" " if c == "<spc>" else c
+                               for c in gt).split()
+            hyp_words = "".join(" " if c == "<spc>" else c
+                                for c in hyp).split()
+            stats["wer_errors"] += min(1.0, wer_fn(gt_words, hyp_words)
+                                       if hyp_words else 1.0) \
+                * len(gt_words)
+            stats["wer_length"] += len(gt_words)
+    n = len(examples)
+    return {
+        "beam": beam_size,
+        "cer": round(stats["cer_errors"] / stats["cer_length"], 4),
+        "wer": round(stats["wer_errors"] / stats["wer_length"], 4),
+        "empty": stats["empty"],
+        "utterances": n,
+        "decode_wall_s": round(t_decode, 2),
+        "utt_per_s": round(n / t_decode, 2) if t_decode else None,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--work", default=".quality_work")
+    ap.add_argument("--fast", action="store_true",
+                    help="tiny model + corpus (CI smoke)")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse the checkpoint in --work")
+    args = ap.parse_args(argv)
+
+    from attention_lvcsr_tpu.config import Configuration
+    from attention_lvcsr_tpu.data import Data
+    from attention_lvcsr_tpu.ops import fst as F
+    from attention_lvcsr_tpu.ops.lm_graph import build_decoding_graph
+    from attention_lvcsr_tpu.train import driver
+
+    rng = np.random.RandomState(args.seed)
+    os.makedirs(args.work, exist_ok=True)
+    fast = args.fast
+
+    n_train = 400 if fast else 8000
+    n_valid = 50 if fast else 256
+    n_test = 50 if fast else 256
+    num_words = 16 if fast else 30
+
+    # 1+2: language + ARPA
+    words, succ = make_language(rng, num_words=num_words)
+    corpus = sample_corpus(words, succ, rng,
+                           n_train + n_valid + n_test,
+                           min_len=3 if fast else 4,
+                           max_len=5 if fast else 9)
+    arpa_path = os.path.join(args.work, "lm.arpa")
+    estimate_arpa(corpus[:n_train], words, arpa_path)
+
+    # symbol inventory shared by dataset and graph
+    value_map = {"<spc>": 0, "<eol>": 1}
+    for ch in LETTERS:
+        value_map[ch] = len(value_map)
+
+    # 3: LG_pushed through the lm2fst.sh-role pipeline
+    lm_dir = os.path.join(args.work, "lm")
+    t0 = time.time()
+    # deterministic=False matches the reference recipe's default
+    # (bin/lm2fst.sh: the eol-adapter composition is NOT determinized;
+    # log-semiring determinization there can explode — 514 -> 146k
+    # states on this very language — and the decoder's <=7-entry FST
+    # state-set fusion handles nondeterminism by design)
+    graph = build_decoding_graph(arpa_path, value_map, out_dir=lm_dir,
+                                 deterministic=False,
+                                 no_transition_cost=20.0)
+    graph_s = time.time() - t0
+    lm_npz = os.path.join(lm_dir, "LG_pushed.npz")
+    print(f"LG_pushed: {graph['LG_pushed'].num_states} states "
+          f"({graph_s:.1f}s) -> {lm_npz}")
+
+    # 4: acoustics
+    dataset = os.path.join(args.work, "synth.h5")
+    make_dataset(dataset, corpus, value_map, rng,
+                 feat_dim=12 if fast else 40,
+                 frames_lo=3 if fast else 6,
+                 frames_hi=5 if fast else 10,
+                 noise=0.8 if fast else 1.0,
+                 splits=(("train", n_train), ("valid", n_valid),
+                         ("test", n_test)))
+
+    # 5: train the wsj_paper-shaped model through the multistage driver
+    cfg_path = os.path.join(args.work, "config.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEMPLATE.format(
+            dataset=os.path.abspath(dataset),
+            batch_size=16 if fast else 32,
+            dim=32 if fast else 250,
+            dims_bidir="[32, 32]" if fast else "[250, 250, 250, 250]",
+            subsample="[1, 2]" if fast else "[1, 1, 2, 2]",
+            pretrain_epochs=1 if fast else 2,
+            main_epochs=2 if fast else 8,
+        ))
+    config = Configuration(cfg_path)
+    save_dir = os.path.join(args.work, "model")
+    final_ckpt = os.path.join(save_dir, "main.zip")
+    t0 = time.time()
+    if not (args.skip_train and os.path.exists(final_ckpt)):
+        driver.train_multistage(config, save_dir, fast_start=True)
+    train_s = time.time() - t0
+
+    # 6: decode four ways
+    data = Data(**config["data"])
+    base_kwargs = dict(stop_on="patience", round_to_inf=1e9)
+    results = {}
+
+    rec = driver.create_model(config, data, final_ckpt)
+    for beam in (10, 200):
+        results[f"nolm_beam{beam}"] = decode_and_score(
+            rec, data, 20 if fast and beam > 20 else beam,
+            dict(base_kwargs, char_discount=0.1))
+        print("no-LM", results[f"nolm_beam{beam}"])
+
+    lm_config = Configuration(cfg_path)
+    lm_config["net"]["lm"] = {"path": lm_npz, "weight": 0.5,
+                              "no_transition_cost": 20.0}
+    rec_lm = driver.create_model(lm_config, data, final_ckpt)
+    for beam in (10, 200):
+        results[f"lm_beam{beam}"] = decode_and_score(
+            rec_lm, data, 20 if fast and beam > 20 else beam,
+            dict(base_kwargs, char_discount=1.0))
+        print("LM", results[f"lm_beam{beam}"])
+
+    out = {
+        "task": "synthetic-language quality-parity proxy "
+                "(reference exp/wsj/README.md:38-75 role)",
+        "fast_mode": fast,
+        "language": {"words": len(words),
+                     "arpa": arpa_path,
+                     "lg_states": graph["LG_pushed"].num_states,
+                     "graph_build_s": round(graph_s, 1)},
+        "train_utterances": n_train,
+        "train_wall_s": round(train_s, 1),
+        "results": results,
+        "lm_beats_nolm_wer": (results["lm_beam10"]["wer"]
+                              < results["nolm_beam10"]["wer"]),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main()
