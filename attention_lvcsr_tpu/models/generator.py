@@ -403,6 +403,113 @@ class SequenceGenerator(nn.Module):
         init_states = [cell.initial_states(B) for cell in self.cells]
         init_glimpses = self.attention.initial_glimpses(B, attended)
 
+        fused_mode = self._fused_train_mode()
+        if fused_mode is not None:
+            pre_states, glimpses_seq, final_states, final_glimpses = \
+                self._evaluate_fused(
+                    attended, preprocessed, attended_mask, forked_seq,
+                    mask, init_states, init_glimpses, T, B,
+                    interpret=fused_mode == "interpret")
+        else:
+            pre_states, glimpses_seq, final_states, final_glimpses = \
+                self._evaluate_scan(
+                    attended, preprocessed, attended_mask, forked_seq,
+                    mask, init_states, init_glimpses, T, B)
+
+        # Rolled feedback: position t sees feedback of outputs[t-1];
+        # t==0 sees the initial output.
+        init_feedback = self.feedback(
+            jnp.full((1, B), self.initial_output, jnp.int32))[0]
+        rolled_feedback = jnp.concatenate(
+            [init_feedback[None], feedback_seq[:-1]], axis=0)
+
+        lm_states_seq = None
+        if self.language_model is not None:
+            lm_states_seq = self.language_model.evaluate(outputs, mask)
+
+        return self._finish_evaluate(
+            pre_states, glimpses_seq, final_states, final_glimpses,
+            rolled_feedback, lm_states_seq, outputs, mask, groundtruth)
+
+    def _fused_train_mode(self):
+        """'compile'/'interpret' to route evaluate through the fused
+        Pallas decoder scan (ops/pallas/decoder_train.py), else None."""
+        import os
+
+        from attention_lvcsr_tpu.models.attention import \
+            SequenceContentAndConvAttention
+        att = self.attention
+        supported = (
+            self.dec_stack == 1
+            and str(self.dec_transition).rsplit(".", 1)[-1].lower()
+            in ("gru", "gatedrecurrent")
+            and isinstance(att, SequenceContentAndConvAttention)
+            and att.conv_num_filters == 1
+            and att.energy_normalizer == "softmax"
+            and self.language_model is None
+            and not os.environ.get("LVSR_NO_TRAIN_DECODER"))
+        if not supported:
+            return None
+        if att.use_pallas == "interpret":
+            return "interpret"
+        if att.use_pallas == "never":
+            return None
+        # single-device only: pallas_call has no SPMD partitioning rule
+        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+            return "compile"
+        return None
+
+    def _evaluate_fused(self, attended, preprocessed, attended_mask,
+                        forked_seq, mask, init_states, init_glimpses,
+                        T, B, interpret):
+        from attention_lvcsr_tpu.ops.pallas.decode_score import \
+            toeplitz_band
+        from attention_lvcsr_tpu.ops.pallas.decoder_train import \
+            decoder_scan_train
+        att = self.attention
+        cell = self.cells[0]
+        L = attended.shape[1]
+        D = attended.shape[2]
+        S = self.dim_dec
+        dtype = attended.dtype
+
+        st = att.state_trans[self.state_names[0]](
+            jnp.eye(S, dtype=dtype))                       # (S, M)
+        M = st.shape[1]
+        hand = att.filter_handler(jnp.ones((1, 1), dtype))[0]
+        v = att.energy(jnp.eye(M, dtype=dtype))[:, 0]
+        toep = toeplitz_band(att.conv_filters.astype(jnp.float32), L)
+        dxm = self.distributes[0]["inputs"](jnp.eye(D, dtype=dtype))
+        dgm = self.distributes[0]["gate_inputs"](jnp.eye(D, dtype=dtype))
+        wss = cell.state_to_state
+        wsg = cell.state_to_gates
+
+        amask = (attended_mask if attended_mask is not None
+                 else jnp.ones((B, L), dtype))
+        h_seq, w_seq, wa_seq, e_seq = decoder_scan_train(
+            forked_seq[0]["inputs"], forked_seq[0]["gate_inputs"],
+            mask, preprocessed, attended, amask,
+            init_states[0]["states"], init_glimpses["weights"],
+            init_glimpses["weighted_averages"],
+            toep, st, hand, v, wss, wsg, dxm, dgm,
+            prior=att._prior(), interpret=interpret)
+        h0 = init_states[0]["states"].astype(h_seq.dtype)
+        pre_states = [{"states": jnp.concatenate(
+            [h0[None], h_seq[:-1]], axis=0)}]
+        mask_arr = (mask if mask is not None
+                    else jnp.ones((T, B), jnp.float32))
+        step_final = jnp.sum(mask_arr, axis=0).astype(jnp.int32)
+        glimpses_seq = {"weights": w_seq, "energies": e_seq,
+                        "weighted_averages": wa_seq}
+        final_states = [{"states": h_seq[-1]}]
+        final_glimpses = {"weights": w_seq[-1], "energies": e_seq[-1],
+                          "weighted_averages": wa_seq[-1],
+                          "step": step_final}
+        return pre_states, glimpses_seq, final_states, final_glimpses
+
+    def _evaluate_scan(self, attended, preprocessed, attended_mask,
+                       forked_seq, mask, init_states, init_glimpses,
+                       T, B):
         def step(mdl, carry, inp):
             states, glimpses = carry
             forked_t, mask_t = inp
@@ -425,18 +532,11 @@ class SequenceGenerator(nn.Module):
                        split_rngs={"params": False})
         (final_states, final_glimpses), (pre_states, glimpses_seq) = \
             scan(self, (init_states, init_glimpses), xs)
+        return pre_states, glimpses_seq, final_states, final_glimpses
 
-        # Rolled feedback: position t sees feedback of outputs[t-1];
-        # t==0 sees the initial output.
-        init_feedback = self.feedback(
-            jnp.full((1, B), self.initial_output, jnp.int32))[0]
-        rolled_feedback = jnp.concatenate(
-            [init_feedback[None], feedback_seq[:-1]], axis=0)
-
-        lm_states_seq = None
-        if self.language_model is not None:
-            lm_states_seq = self.language_model.evaluate(outputs, mask)
-
+    def _finish_evaluate(self, pre_states, glimpses_seq, final_states,
+                         final_glimpses, rolled_feedback, lm_states_seq,
+                         outputs, mask, groundtruth):
         sources = {}
         if self.use_states_for_readout:
             for i, name in enumerate(self.state_names):

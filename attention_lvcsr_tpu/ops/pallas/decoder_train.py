@@ -1,0 +1,574 @@
+"""Fused teacher-forced attention-decoder scan with a custom VJP.
+
+The training sibling of the fused decode-score cell
+(:mod:`.decode_score`): the whole label-time loop of
+``SequenceGenerator.evaluate`` — windowed prior, Toeplitz-matmul
+alignment convolution, match/tanh/energy, masked softmax, weighted
+average, and the GRU transition — runs as ONE Pallas kernel pair
+(forward + reverse-grid backward), eliminating the per-step fusion
+dispatches an XLA ``lax.scan`` backward pays (the decoder was ~45 % of
+the flagship train step, almost all of it in the backward while-loop).
+
+Design notes (same playbook as :mod:`.gru_train` / :mod:`.decode_score`):
+
+* the label-step recurrence carries (h, weights, wa) in VMEM scratch
+  across grid steps; chunked time steps amortize block fetches;
+* ``pre`` (B, L, M) and ``attended`` (B, L, D) stay VMEM-resident for
+  the whole loop (constant block index);
+* residuals streamed to HBM are exactly the per-step outputs the
+  backward needs: masked h/weights/wa plus the unmasked GRU gate
+  activations — the attention match tensor is RECOMPUTED in the
+  backward from (h_prev, w_prev) instead of streaming (T, B, L, M);
+* window-prior masks are non-differentiable (floor/compare), matching
+  the XLA path's stop-gradient median;
+* parameter gradients (state-trans, handler, energy vector, Toeplitz,
+  GRU + distribute matrices) accumulate in f32 across the reverse grid;
+  the Toeplitz gradient maps back to the conv taps through the
+  differentiable band construction outside the kernel.
+
+Applicability is checked by the caller (``models/generator.py``):
+content+conv attention, one conv filter, softmax normalizer, one GRU
+decoder layer, no LM, no states-in-readout.  Reference semantics:
+``blocks/bricks/sequence_generators.py`` evaluate +
+``lvsr/bricks/attention.py:75-168``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from attention_lvcsr_tpu.ops.pallas.common import HAS_PLTPU as _HAS_PLTPU
+from attention_lvcsr_tpu.ops.pallas.common import dot as _dot
+from attention_lvcsr_tpu.ops.pallas.common import pad_time as _pad_time
+from attention_lvcsr_tpu.ops.pallas.common import pltpu
+
+NEG = -1e30
+CHUNK = 4
+
+
+def _window_masks(w, step0, amask, pos, pos1, tri, *, prior, before,
+                  after, initial_begin, initial_end, min_speed,
+                  max_speed, L):
+    """(global_mask (1, L), combined (B, L)) for one step — decode-score
+    parity (ops/pallas/decode_score.py:64-92), per-batch-row windows."""
+    f32 = jnp.float32
+    if prior == "expanding":
+        begin = jnp.maximum(0.0, jnp.minimum(
+            float(L - 1), initial_begin + step0 * min_speed))
+        end = jnp.maximum(0.0, jnp.minimum(
+            float(L), initial_end + step0 * max_speed))
+        begin = jnp.floor(begin)
+        end = jnp.ceil(end)
+        gmask = ((pos1 >= begin) & (pos1 < end)).astype(f32)
+        combined = gmask * amask
+        return gmask, combined
+    if prior == "window_around_mean":
+        expected = (w * pos).sum(axis=1, keepdims=True)
+    else:  # window_around_median
+        # running cumsum as a lower-triangular ones matmul (Mosaic has
+        # no cumsum primitive; decode_score.py:79-84 trick)
+        cs = _dot(w, tri)
+        below = (cs < 0.5).astype(f32).sum(axis=1, keepdims=True)
+        expected = jnp.maximum(0.0, below - 1.0)
+    begins = jnp.floor(expected - before)
+    ends = jnp.ceil(expected + after)
+    gb = jnp.floor(jnp.maximum(0.0, begins.min()))
+    ge = jnp.ceil(jnp.minimum(float(L), ends.max()))
+    gmask = ((pos1 >= gb) & (pos1 < ge)).astype(f32)
+    additional = ((pos > begins) & (pos < ends)).astype(f32)
+    return gmask, gmask * additional * amask
+
+
+def _attention_fwd(h, w, pre, att, amask, toep, tri, st, hand, v, pos,
+                   pos1, step0, cfg):
+    """One attention step: returns (wnew, wa_new, energies, gmask)."""
+    f32 = jnp.float32
+    L = cfg["L"]
+    gmask, combined = _window_masks(
+        w, step0, amask, pos, pos1, tri, prior=cfg["prior"],
+        before=cfg["before"], after=cfg["after"],
+        initial_begin=cfg["initial_begin"],
+        initial_end=cfg["initial_end"], min_speed=cfg["min_speed"],
+        max_speed=cfg["max_speed"], L=L)
+    wg = w * gmask
+    conv = _dot(wg, toep)                                   # (B, L)
+    sp = _dot(h, st)                                        # (B, M)
+    match = jnp.tanh(pre + sp[:, None, :]
+                     + conv[:, :, None] * hand[None, :, :])  # (B, L, M)
+    B, _, M = match.shape
+    energies = _dot(match.reshape(B * L, M),
+                    v.reshape(M, 1)).reshape(B, L)
+    masked = jnp.where(gmask > 0, energies, NEG)
+    mx = jnp.max(masked, axis=1, keepdims=True)
+    mx = jnp.where(mx > NEG / 2, mx, 0.0)
+    unnorm = jnp.exp(energies - mx) * combined
+    denom = unnorm.sum(axis=1, keepdims=True) + \
+        (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
+    wnew = unnorm / denom
+    # batched (B,L)x(B,L,D) contraction as multiply-reduce (Mosaic has
+    # no batched dot_general; L is small enough for the VPU)
+    wa_new = (wnew[:, :, None] * att).sum(axis=1)           # (B, D)
+    return wnew, wa_new, energies, gmask, conv, match
+
+
+def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
+                amask_ref, h0_ref, w0_ref, wa0_ref, e0_ref,
+                toep_ref, tri_ref, st_ref, hand_ref, v_ref, wss_ref,
+                wsg_ref,
+                dx_ref, dg_ref,
+                h_out, w_out, wa_out, e_out, u_out, r_out, c_out,
+                h_sc, w_sc, wa_sc, e_sc, *, cfg, chunk):
+    f32 = jnp.float32
+    S = cfg["S"]
+    L = cfg["L"]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_sc[...] = h0_ref[0].astype(f32)
+        w_sc[...] = w0_ref[0].astype(f32)
+        wa_sc[...] = wa0_ref[0].astype(f32)
+        e_sc[...] = e0_ref[0].astype(f32)
+
+    pre = pre_ref[...].astype(f32)                          # (B, L, M)
+    att = att_ref[...].astype(f32)                          # (B, L, D)
+    amask = amask_ref[...].astype(f32)                      # (B, L)
+    toep = toep_ref[...].astype(f32)
+    tri = tri_ref[...].astype(f32)
+    st = st_ref[...].astype(f32)
+    hand = hand_ref[...].astype(f32)                        # (1, M)
+    v = v_ref[...].astype(f32)                              # (1, M)
+    wss = wss_ref[...].astype(f32)
+    wsg = wsg_ref[...].astype(f32)
+    dxm = dx_ref[...].astype(f32)
+    dgm = dg_ref[...].astype(f32)
+    B = h_sc.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(f32)
+    pos1 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1).astype(f32)
+
+    h = h_sc[...]
+    w = w_sc[...]
+    wa = wa_sc[...]
+    e_keep = e_sc[...]
+    for j in range(chunk):
+        step0 = s0_ref[j, 0, 0].astype(f32)
+        wnew, wa_new, energies, gmask, _, _ = _attention_fwd(
+            h, w, pre, att, amask, toep, tri, st, hand, v, pos, pos1,
+            step0, cfg)
+        gacts = jax.nn.sigmoid(_dot(h, wsg) + fg_ref[j].astype(f32)
+                               + _dot(wa_new, dgm))
+        u = gacts[:, :S]
+        r = gacts[:, S:]
+        cand = jnp.tanh(_dot(h * r, wss) + fx_ref[j].astype(f32)
+                        + _dot(wa_new, dxm))
+        h_new = u * cand + (1.0 - u) * h
+
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)          # (B, 1)
+        h = m * h_new + (1.0 - m) * h
+        w = m * wnew + (1.0 - m) * w
+        wa = m * wa_new + (1.0 - m) * wa
+        e_keep = m * (energies * gmask) + (1.0 - m) * e_keep
+        h_out[j] = h.astype(h_out.dtype)
+        w_out[j] = w.astype(w_out.dtype)
+        wa_out[j] = wa.astype(wa_out.dtype)
+        e_out[j] = e_keep.astype(e_out.dtype)
+        u_out[j] = u.astype(u_out.dtype)
+        r_out[j] = r.astype(r_out.dtype)
+        c_out[j] = cand.astype(c_out.dtype)
+    h_sc[...] = h
+    w_sc[...] = w
+    wa_sc[...] = wa
+    e_sc[...] = e_keep
+
+
+def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
+                hprev_ref, wprev_ref, waprev_ref,
+                h_ref, w_ref, wa_ref, u_ref, r_ref, c_ref,
+                m_ref, s0_ref, fxz_ref,
+                pre_ref, att_ref, amask_ref,
+                toep_ref, tri_ref, st_ref, hand_ref, v_ref, wss_ref,
+                wsg_ref, dx_ref, dg_ref,
+                dfx_ref, dfg_ref, dh0_ref, dwa0_ref,
+                dpre_ref, datt_ref, dtoep_ref, dst_ref, dhand_ref,
+                dv_ref, dwss_ref, dwsg_ref, ddx_ref, ddg_ref,
+                dh_sc, dw_sc, dwa_sc, *, cfg, chunk, steps):
+    f32 = jnp.float32
+    S = cfg["S"]
+    L = cfg["L"]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_sc[...] = jnp.zeros_like(dh_sc)
+        dw_sc[...] = jnp.zeros_like(dw_sc)
+        dwa_sc[...] = jnp.zeros_like(dwa_sc)
+        dpre_ref[...] = jnp.zeros_like(dpre_ref)
+        datt_ref[...] = jnp.zeros_like(datt_ref)
+        dtoep_ref[...] = jnp.zeros_like(dtoep_ref)
+        dst_ref[...] = jnp.zeros_like(dst_ref)
+        dhand_ref[...] = jnp.zeros_like(dhand_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        dwss_ref[...] = jnp.zeros_like(dwss_ref)
+        dwsg_ref[...] = jnp.zeros_like(dwsg_ref)
+        ddx_ref[...] = jnp.zeros_like(ddx_ref)
+        ddg_ref[...] = jnp.zeros_like(ddg_ref)
+
+    pre = pre_ref[...].astype(f32)
+    att = att_ref[...].astype(f32)
+    amask = amask_ref[...].astype(f32)
+    toep = toep_ref[...].astype(f32)
+    tri = tri_ref[...].astype(f32)
+    st = st_ref[...].astype(f32)
+    hand = hand_ref[...].astype(f32)
+    v = v_ref[...].astype(f32)
+    wss = wss_ref[...].astype(f32)
+    wsg = wsg_ref[...].astype(f32)
+    dxm = dx_ref[...].astype(f32)
+    dgm = dg_ref[...].astype(f32)
+    B = dh_sc.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(f32)
+    pos1 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1).astype(f32)
+
+    dpre_acc = jnp.zeros_like(dpre_ref)
+    datt_acc = jnp.zeros_like(datt_ref)
+    dtoep_acc = jnp.zeros_like(dtoep_ref)
+    dst_acc = jnp.zeros_like(dst_ref)
+    dhand_acc = jnp.zeros_like(dhand_ref)
+    dv_acc = jnp.zeros_like(dv_ref)
+    dwss_acc = jnp.zeros_like(dwss_ref)
+    dwsg_acc = jnp.zeros_like(dwsg_ref)
+    ddx_acc = jnp.zeros_like(ddx_ref)
+    ddg_acc = jnp.zeros_like(ddg_ref)
+
+    dh_c = dh_sc[...]
+    dw_c = dw_sc[...]
+    dwa_c = dwa_sc[...]
+    for j in reversed(range(chunk)):
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1)
+        h_prev = hprev_ref[j].astype(f32)
+        w_prev = wprev_ref[j].astype(f32)
+        u = u_ref[j].astype(f32)
+        r = r_ref[j].astype(f32)
+        cand = c_ref[j].astype(f32)
+        wnew = w_ref[j].astype(f32)      # post-mix; exact where m=1
+        wa_new = wa_ref[j].astype(f32)
+        step0 = s0_ref[j, 0, 0].astype(f32)
+
+        dh_tot = dh_c + dh_ref[j].astype(f32)
+        dw_tot = dw_c + dw_ref[j].astype(f32)
+        dwa_tot = dwa_c + dwa_ref[j].astype(f32)
+
+        dh_new = dh_tot * m
+        dh_keep = dh_tot * (1.0 - m)
+        dwnew = dw_tot * m
+        dw_keep = dw_tot * (1.0 - m)
+        dwa_new = dwa_tot * m
+        dwa_keep = dwa_tot * (1.0 - m)
+
+        # ---- GRU backward --------------------------------------------
+        du = dh_new * (cand - h_prev)
+        dcand = dh_new * u
+        dh_prev = dh_new * (1.0 - u)
+        dcandacts = dcand * (1.0 - cand * cand)
+        d_hr = _dot(dcandacts, wss, contract=(1, 1))
+        dwss_acc += _dot(h_prev * r, dcandacts, contract=(0, 0))
+        dh_prev += d_hr * r
+        dr = d_hr * h_prev
+        dgacts = jnp.concatenate(
+            [du * u * (1.0 - u), dr * r * (1.0 - r)], axis=1)
+        dh_prev += _dot(dgacts, wsg, contract=(1, 1))
+        dwsg_acc += _dot(h_prev, dgacts, contract=(0, 0))
+        dfx_ref[j] = dcandacts.astype(dfx_ref.dtype)
+        dfg_ref[j] = dgacts.astype(dfg_ref.dtype)
+        dwa_new += _dot(dcandacts, dxm, contract=(1, 1)) \
+            + _dot(dgacts, dgm, contract=(1, 1))
+        ddx_acc += _dot(wa_new, dcandacts, contract=(0, 0))
+        ddg_acc += _dot(wa_new, dgacts, contract=(0, 0))
+
+        # ---- weighted average backward -------------------------------
+        dwnew = dwnew + (att * dwa_new[:, None, :]).sum(axis=2)
+        datt_acc += wnew[:, :, None] * dwa_new[:, None, :]
+
+        # ---- softmax backward (masked rows carry zero cotangent) -----
+        srow = (dwnew * wnew).sum(axis=1, keepdims=True)
+        dE = wnew * (dwnew - srow)                           # (B, L)
+
+        # ---- recompute the match tensor and run energies backward ----
+        _, _, _, gmask, conv, match = _attention_fwd(
+            h_prev, w_prev, pre, att, amask, toep, tri, st, hand, v,
+            pos, pos1, step0, cfg)
+        dmatch = (dE[:, :, None] * v[None, :, :]
+                  * (1.0 - match * match))                   # (B, L, M)
+        dpre_acc += dmatch
+        dv_acc += (match * dE[:, :, None]).sum(axis=(0, 1),
+                                               keepdims=True)[0]
+        dsp = dmatch.sum(axis=1)                             # (B, M)
+        dh_prev += _dot(dsp, st, contract=(1, 1))
+        dst_acc += _dot(h_prev, dsp, contract=(0, 0))
+        dconv = (dmatch * hand[None, :, :]).sum(axis=2)      # (B, L)
+        dhand_acc += (dmatch * conv[:, :, None]).sum(
+            axis=(0, 1), keepdims=True)[0]
+        wg = w_prev * gmask
+        dwg = _dot(dconv, toep, contract=(1, 1))
+        dtoep_acc += _dot(wg, dconv, contract=(0, 0))
+        dw_prev = dwg * gmask + dw_keep
+
+        dh_c = dh_prev + dh_keep
+        dw_c = dw_prev
+        dwa_c = dwa_keep
+
+    dpre_ref[...] += dpre_acc
+    datt_ref[...] += datt_acc
+    dtoep_ref[...] += dtoep_acc
+    dst_ref[...] += dst_acc
+    dhand_ref[...] += dhand_acc
+    dv_ref[...] += dv_acc
+    dwss_ref[...] += dwss_acc
+    dwsg_ref[...] += dwsg_acc
+    ddx_ref[...] += ddx_acc
+    ddg_ref[...] += ddg_acc
+    dh_sc[...] = dh_c
+    dw_sc[...] = dw_c
+    dwa_sc[...] = dwa_c
+
+    @pl.when(t == steps - 1)
+    def _():
+        dh0_ref[...] = dh_c
+        dwa0_ref[...] = dwa_c
+
+
+def _cfg_key(cfg):
+    return tuple(sorted(cfg.items()))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _decoder_scan(cfgk, interpret, fx, fg, mask, step0, pre, attended,
+                  amask, h0, w0, wa0, toep, st, hand, v, wss, wsg,
+                  dxm, dgm):
+    out, _ = _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0,
+                               pre, attended, amask, h0, w0, wa0, toep,
+                               st, hand, v, wss, wsg, dxm, dgm)
+    return out
+
+
+def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
+                      attended, amask, h0, w0, wa0, toep, st, hand, v,
+                      wss, wsg, dxm, dgm):
+    cfg = dict(cfgk)
+    T, B, S = fx.shape
+    L = cfg["L"]
+    M = st.shape[1]
+    D = attended.shape[2]
+    C = min(CHUNK, T)
+    T_pad = -(-T // C) * C
+    fx_p = _pad_time(fx, T_pad)
+    fg_p = _pad_time(fg, T_pad)
+    mask_p = _pad_time(mask, T_pad)
+    step0_p = _pad_time(step0.reshape(T, 1), T_pad)
+
+    tri = jnp.triu(jnp.ones((L, L), jnp.float32))   # cumsum matmul
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk=C)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    seq = lambda *d: pl.BlockSpec((C,) + d, lambda t: (t,) + (0,) * len(d))
+    const = lambda *d: pl.BlockSpec(d, lambda t: (0,) * len(d))
+    e0 = jnp.zeros((B, L), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T_pad // C,),
+        in_specs=[
+            seq(B, S),                   # fx
+            seq(B, 2 * S),               # fg
+            pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),   # mask
+            pl.BlockSpec((C, 1, 1), lambda t: (t, 0, 0)),   # step0
+            const(B, L, M),              # pre
+            const(B, L, D),              # attended
+            const(B, L),                 # amask
+            const(1, B, S), const(1, B, L), const(1, B, D),
+            const(1, B, L),              # e0
+            const(L, L),                 # toep
+            const(L, L),                 # tri
+            const(S, M), const(1, M), const(1, M),
+            const(S, S), const(S, 2 * S),
+            const(D, S), const(D, 2 * S),
+        ],
+        out_specs=(seq(B, S), seq(B, L), seq(B, D), seq(B, L),
+                   seq(B, S), seq(B, S), seq(B, S)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((T_pad, B, d), jnp.float32)
+            for d in (S, L, D, L, S, S, S)),
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
+                        pltpu.VMEM((B, L), jnp.float32),
+                        pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((B, L), jnp.float32)]
+        if _HAS_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(fx_p, fg_p, mask_p.reshape(T_pad, 1, B),
+      step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
+      pre, attended, amask,
+      h0[None], w0[None], wa0[None], e0[None], toep, tri, st,
+      hand.reshape(1, M), v.reshape(1, M), wss, wsg, dxm, dgm)
+    hs, ws, was, es, us, rs, cs = outs
+    res = (fx, fg, mask_p, step0_p, pre, attended, amask, h0, w0, wa0,
+           toep, st, hand, v, wss, wsg, dxm, dgm, hs, ws, was, us, rs,
+           cs)
+    out = (hs[:T], ws[:T], was[:T], es[:T])
+    return out, res
+
+
+def _decoder_scan_bwd(cfgk, interpret, res, cts):
+    cfg = dict(cfgk)
+    (fx, fg, mask_p, step0_p, pre, attended, amask, h0, w0, wa0, toep,
+     st, hand, v, wss, wsg, dxm, dgm, hs, ws, was, us, rs, cs) = res
+    dhs, dws, dwas, _des = cts
+    T, B, S = fx.shape
+    T_pad = hs.shape[0]
+    L = cfg["L"]
+    M = st.shape[1]
+    D = attended.shape[2]
+    C = min(CHUNK, T)
+    Tc = T_pad // C
+
+    def cot(x, shape):
+        if x is None:
+            return jnp.zeros(shape, jnp.float32)
+        return _pad_time(x.astype(jnp.float32), T_pad)
+
+    dhs = cot(dhs, (T_pad, B, S))
+    dws = cot(dws, (T_pad, B, L))
+    dwas = cot(dwas, (T_pad, B, D))
+    hprev = jnp.concatenate([h0[None].astype(jnp.float32), hs[:-1]], 0)
+    wprev = jnp.concatenate([w0[None].astype(jnp.float32), ws[:-1]], 0)
+    waprev = jnp.concatenate([wa0[None].astype(jnp.float32), was[:-1]],
+                             0)
+
+    tri = jnp.triu(jnp.ones((L, L), jnp.float32))
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, chunk=C, steps=Tc)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    rev = lambda *d: pl.BlockSpec((C,) + d,
+                                  lambda t: (Tc - 1 - t,) + (0,) * len(d))
+    const = lambda *d: pl.BlockSpec(d, lambda t: (0,) * len(d))
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Tc,),
+        in_specs=[
+            rev(B, S), rev(B, L), rev(B, D),           # cotangents
+            rev(B, S), rev(B, L), rev(B, D),           # prev h/w/wa
+            rev(B, S), rev(B, L), rev(B, D),           # h/w/wa
+            rev(B, S), rev(B, S), rev(B, S),           # u r cand
+            pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
+            pl.BlockSpec((C, 1, 1), lambda t: (Tc - 1 - t, 0, 0)),
+            rev(B, S),                                 # fx (unused math)
+            const(B, L, M), const(B, L, D), const(B, L),
+            const(L, L),                               # toep
+            const(L, L),                               # tri
+            const(S, M), const(1, M), const(1, M),
+            const(S, S), const(S, 2 * S),
+            const(D, S), const(D, 2 * S),
+        ],
+        out_specs=(rev(B, S), rev(B, 2 * S),
+                   pl.BlockSpec((B, S), lambda t: (0, 0)),
+                   pl.BlockSpec((B, D), lambda t: (0, 0)),
+                   const(B, L, M), const(B, L, D), const(L, L),
+                   const(S, M), const(1, M), const(1, M),
+                   const(S, S), const(S, 2 * S),
+                   const(D, S), const(D, 2 * S)),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, B, S), f32),
+            jax.ShapeDtypeStruct((T_pad, B, 2 * S), f32),
+            jax.ShapeDtypeStruct((B, S), f32),
+            jax.ShapeDtypeStruct((B, D), f32),
+            jax.ShapeDtypeStruct((B, L, M), f32),
+            jax.ShapeDtypeStruct((B, L, D), f32),
+            jax.ShapeDtypeStruct((L, L), f32),
+            jax.ShapeDtypeStruct((S, M), f32),
+            jax.ShapeDtypeStruct((1, M), f32),
+            jax.ShapeDtypeStruct((1, M), f32),
+            jax.ShapeDtypeStruct((S, S), f32),
+            jax.ShapeDtypeStruct((S, 2 * S), f32),
+            jax.ShapeDtypeStruct((D, S), f32),
+            jax.ShapeDtypeStruct((D, 2 * S), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, S), f32),
+                        pltpu.VMEM((B, L), f32),
+                        pltpu.VMEM((B, D), f32)]
+        if _HAS_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(dhs, dws, dwas, hprev, wprev, waprev, hs, ws, was, us, rs, cs,
+      mask_p.reshape(T_pad, 1, B),
+      step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
+      _pad_time(fx, T_pad), pre, attended, amask, toep, tri, st,
+      hand.reshape(1, M), v.reshape(1, M), wss, wsg, dxm, dgm)
+    (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, dwss,
+     dwsg, ddx, ddg) = outs
+    z = jnp.zeros
+    return (dfx[:T].astype(fx.dtype), dfg[:T].astype(fg.dtype),
+            z((T, B), fx.dtype),          # mask
+            z((T,), fx.dtype),            # step0
+            dpre.astype(pre.dtype), datt.astype(attended.dtype),
+            z(amask.shape, amask.dtype),
+            dh0.astype(h0.dtype),
+            z(w0.shape, w0.dtype),        # initial onehot: constant
+            dwa0.astype(wa0.dtype),
+            dtoep.astype(toep.dtype), dst.astype(st.dtype),
+            dhand.reshape(hand.shape).astype(hand.dtype),
+            dv.reshape(v.shape).astype(v.dtype),
+            dwss.astype(wss.dtype), dwsg.astype(wsg.dtype),
+            ddx.astype(dxm.dtype), ddg.astype(dgm.dtype))
+
+
+_decoder_scan.defvjp(_decoder_scan_fwd, _decoder_scan_bwd)
+
+
+def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
+                       wa0, toep, st, hand, v, wss, wsg, dxm, dgm, *,
+                       prior, interpret=False):
+    """Differentiable fused attention-decoder scan.
+
+    fx (T,B,S) / fg (T,B,2S): fork projections of the fed-back labels
+    (bias included); mask (T,B) or None; pre (B,L,M) preprocessed
+    attended; attended (B,L,D); att_mask (B,L); h0/w0/wa0 initial
+    state/alignment/weighted-average; toep (L,L) banded Toeplitz of the
+    conv taps; st/hand/v attention params; wss/wsg GRU matrices;
+    dxm/dgm distribute matrices.  Returns (h_seq, weights_seq, wa_seq,
+    energies_seq), each (T,B,·), mask-mixed like the XLA scan.
+    """
+    T, B, S = fx.shape
+    if mask is None:
+        mask = jnp.ones((T, B), jnp.float32)
+    # the expanding prior consumes step[0]: the per-step scalar equals
+    # the number of unmasked steps row 0 has seen (mask-mixed carry)
+    step0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32),
+         jnp.cumsum(mask[:, 0])[:-1]]).astype(jnp.int32)
+    p = dict(prior)
+    cfg = dict(
+        L=int(attended.shape[1]), S=S,
+        prior=p.get("type", "expanding"),
+        before=float(p.get("before", 0.0)),
+        after=float(p.get("after", 0.0)),
+        initial_begin=float(p.get("initial_begin", 0.0)),
+        initial_end=float(p.get("initial_end", 1e4)),
+        min_speed=float(p.get("min_speed", 0.0)),
+        max_speed=float(p.get("max_speed", 0.0)),
+    )
+    f32 = jnp.float32
+    return _decoder_scan(
+        _cfg_key(cfg), bool(interpret), fx.astype(f32), fg.astype(f32),
+        mask.astype(f32), step0, pre.astype(f32), attended.astype(f32),
+        att_mask.astype(f32), h0.astype(f32), w0.astype(f32),
+        wa0.astype(f32), toep.astype(f32), st.astype(f32),
+        hand.astype(f32), v.astype(f32), wss.astype(f32),
+        wsg.astype(f32), dxm.astype(f32), dgm.astype(f32))

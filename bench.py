@@ -213,8 +213,84 @@ def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False):
     }
 
 
-def bench_train(compute_dtype=None):
-    _log(f"bench train step dtype={compute_dtype or 'f32'}")
+def bench_train_breakdown(compute_dtype=None, batch=TRAIN_BATCH,
+                          repeats=5):
+    """Per-phase step-time breakdown at the flagship shape.
+
+    Times (pipelined, 10 dispatches per sync) separately-jitted
+    subgraphs; phase costs come from differences:
+    encoder fwd+bwd, full-cost fwd+bwd (=> decoder+readout share), and
+    the full step (=> optimizer + clipping share).
+    """
+    import jax
+    import jax.numpy as jnp
+    from attention_lvcsr_tpu.train.driver import make_train_step
+    from attention_lvcsr_tpu.train.rules import build_optimizer
+
+    rec = _recognizer("auto")
+    net = rec.net
+    training = {"gradient_threshold": 100.0, "rules": ["adadelta"]}
+    if compute_dtype:
+        training["compute_dtype"] = compute_dtype
+    config = {"net": rec.net_config, "training": training,
+              "regularization": {}}
+    optimizer = build_optimizer(config["training"], {})
+    step_fn = make_train_step(rec, optimizer, config,
+                              eos_label=rec.net_config["eos_label"],
+                              input_key="recordings")
+    params = rec.params
+    opt_state = optimizer.init(params)
+    data = np.random.RandomState(0)
+    inputs = jnp.asarray(data.randn(batch, FRAMES, 123), jnp.float32)
+    inputs_mask = jnp.ones((batch, FRAMES), jnp.float32)
+    labels = jnp.asarray(data.randint(0, 31, size=(batch, LABELS)),
+                         jnp.int32)
+    labels_mask = jnp.ones((batch, LABELS), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def timed(fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = fn(*args)
+            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            times.append((time.perf_counter() - t0) / 10)
+        return statistics.median(times)
+
+    def enc_loss(p, x, m):
+        encoded, _, _ = net.apply(p, x, m, method=net.encode)
+        return jnp.sum(encoded * encoded)
+
+    def cost_loss(p, x, m, y, ym):
+        out = net.apply(p, x, m, y, ym, method=net.cost)
+        return out["costs"].sum()
+
+    enc_fwd = timed(jax.jit(enc_loss), params, inputs, inputs_mask)
+    enc_fb = timed(jax.jit(jax.grad(enc_loss)), params, inputs,
+                   inputs_mask)
+    cost_fwd = timed(jax.jit(cost_loss), params, inputs, inputs_mask,
+                     labels, labels_mask)
+    cost_fb = timed(jax.jit(jax.grad(cost_loss)), params, inputs,
+                    inputs_mask, labels, labels_mask)
+    full = timed(jax.jit(step_fn), params, opt_state, rng, inputs,
+                 inputs_mask, labels, labels_mask)
+    return {
+        "batch": batch,
+        "encoder_fwd_ms": round(enc_fwd * 1e3, 2),
+        "encoder_fwd_bwd_ms": round(enc_fb * 1e3, 2),
+        "cost_fwd_ms": round(cost_fwd * 1e3, 2),
+        "cost_fwd_bwd_ms": round(cost_fb * 1e3, 2),
+        "full_step_ms": round(full * 1e3, 2),
+        "decoder_share_ms": round((cost_fb - enc_fb) * 1e3, 2),
+        "optimizer_share_ms": round((full - cost_fb) * 1e3, 2),
+    }
+
+
+def bench_train(compute_dtype=None, batch=TRAIN_BATCH):
+    _log(f"bench train step dtype={compute_dtype or 'f32'} B={batch}")
     import jax
     import jax.numpy as jnp
     from attention_lvcsr_tpu.train.driver import make_train_step
@@ -234,12 +310,12 @@ def bench_train(compute_dtype=None):
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
     data = np.random.RandomState(0)
-    inputs = jnp.asarray(data.randn(TRAIN_BATCH, FRAMES, 123),
+    inputs = jnp.asarray(data.randn(batch, FRAMES, 123),
                          jnp.float32)
-    inputs_mask = jnp.ones((TRAIN_BATCH, FRAMES), jnp.float32)
+    inputs_mask = jnp.ones((batch, FRAMES), jnp.float32)
     labels = jnp.asarray(
-        data.randint(0, 31, size=(TRAIN_BATCH, LABELS)), jnp.int32)
-    labels_mask = jnp.ones((TRAIN_BATCH, LABELS), jnp.float32)
+        data.randint(0, 31, size=(batch, LABELS)), jnp.int32)
+    labels_mask = jnp.ones((batch, LABELS), jnp.float32)
 
     jitted = jax.jit(step_fn, donate_argnums=(0, 1))
     args = (params, opt_state, rng, inputs, inputs_mask, labels,
@@ -283,17 +359,17 @@ def bench_train(compute_dtype=None):
     float(monitors["train_cost"])
     pipelined_wall = (time.time() - t0) / N
     out = {
-        "utt_per_s": round(TRAIN_BATCH / med, 3),
+        "utt_per_s": round(batch / med, 3),
         "realtime_factor": round(
-            TRAIN_BATCH * FRAMES * FRAME_S / med, 1),
+            batch * FRAMES * FRAME_S / med, 1),
         "wall_s_median": round(med, 4),
         "wall_s_min": round(min(times), 4),
         "wall_s_max": round(max(times), 4),
-        "pipelined_utt_per_s": round(TRAIN_BATCH / pipelined_wall, 3),
+        "pipelined_utt_per_s": round(batch / pipelined_wall, 3),
         "pipelined_realtime_factor": round(
-            TRAIN_BATCH * FRAMES * FRAME_S / pipelined_wall, 1),
+            batch * FRAMES * FRAME_S / pipelined_wall, 1),
         "pipelined_wall_s": round(pipelined_wall, 4),
-        "batch": TRAIN_BATCH, "labels": LABELS,
+        "batch": batch, "labels": LABELS,
     }
     if flops:
         achieved = flops / med
@@ -350,22 +426,59 @@ def bench_frontend(batch=16, seconds=8, repeats=REPEATS):
     }
 
 
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_partial.json")
+
+
 def main():
     import jax
     _enable_compilation_cache()
 
-    best = bench_decode("best", use_pallas="auto", compute_dtype=None)
-    xla = bench_decode("xla-fallback", use_pallas="never",
-                       compute_dtype=None, no_loop_kernel=True)
+    # Streamed partial results: each completed row lands in
+    # .bench_partial.json immediately, so a wedged compile or a driver
+    # timeout late in the run cannot zero out the whole artifact.
+    detail = {}
+
+    def done(key, value):
+        detail[key] = value
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(detail, f, indent=1)
+        return value
+
+    best = done("decode_best", bench_decode(
+        "best", use_pallas="auto", compute_dtype=None))
+    xla = done("decode_xla_fallback", bench_decode(
+        "xla-fallback", use_pallas="never",
+        compute_dtype=None, no_loop_kernel=True))
+    frontend = done("frontend", bench_frontend())
+    train = done("train_step", bench_train())
+    train_bf16 = done("train_step_bf16", bench_train("bfloat16"))
+    # batch-scaling curve + per-phase breakdown: the MFU story
+    # (VERDICT r2: is the small-RNN step latency- or compute-bound?)
+    train_curve = {"32": {k: train[k] for k in
+                          ("pipelined_utt_per_s", "wall_s_median",
+                           "mfu_vs_197tflops_bf16")
+                          if k in train}}
+    for b in (64, 128, 256):
+        r = bench_train(batch=b)
+        train_curve[str(b)] = {k: r[k] for k in
+                               ("pipelined_utt_per_s", "wall_s_median",
+                                "mfu_vs_197tflops_bf16") if k in r}
+    done("train_batch_curve", train_curve)
+    breakdown = done("train_breakdown", bench_train_breakdown())
     # the north-star operating point: decode WITH the trigram LM
     # (BASELINE.json defines utt/s at WER parity at this config;
-    # exp/wsj/decode.sh sweeps beams 10..200)
-    lm10 = bench_decode_lm("beam10", beam=10)
-    lm200 = bench_decode_lm("beam200", beam=200, repeats=3)
-    lm_csr = bench_decode_lm("beam10-csr", beam=10, csr=True)
-    frontend = bench_frontend()
-    train = bench_train()
-    train_bf16 = bench_train("bfloat16")
+    # exp/wsj/decode.sh sweeps beams 10..200).  These rows involve the
+    # largest Mosaic compiles of the suite, so they run LAST (a compile
+    # blowup must not cost the rows above) and honor LVSR_BENCH_NO_LM.
+    if os.environ.get("LVSR_BENCH_NO_LM"):
+        lm10 = lm200 = lm_csr = {"skipped": "LVSR_BENCH_NO_LM"}
+    else:
+        lm10 = done("decode_lm_beam10", bench_decode_lm("beam10", beam=10))
+        lm200 = done("decode_lm_beam200",
+                     bench_decode_lm("beam200", beam=200, repeats=3))
+        lm_csr = done("decode_lm_beam10_csr",
+                      bench_decode_lm("beam10-csr", beam=10, csr=True))
 
     print(json.dumps({
         "metric": ("wsj-shaped utterances/sec/chip, encode + beam-10 "
@@ -381,6 +494,8 @@ def main():
             "decode_lm_beam10_csr": lm_csr,
             "frontend": frontend,
             "train_step": train,
+            "train_batch_curve": train_curve,
+            "train_breakdown": breakdown,
             "train_step_bf16": train_bf16,
             "batch": BATCH, "frames": FRAMES, "beam": BEAM,
             "platform": jax.devices()[0].platform,

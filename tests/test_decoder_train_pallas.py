@@ -1,0 +1,110 @@
+"""Fused training decoder scan (fwd + custom VJP) vs the XLA nn.scan:
+value AND gradient parity through the full cost graph, interpret mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from attention_lvcsr_tpu.models.recognizer import RecognizerNet
+
+U = 3
+
+BASE = dict(
+    input_dims={"recordings": 5}, input_num_chars={},
+    eos_label=4, num_phonemes=5, dim_dec=8, dims_bidir=[6],
+    enc_transition="gru", dec_transition="gru",
+    attention_type="content_and_conv", conv_n=2,
+    use_states_for_readout=False,
+    criterion={"name": "log_likelihood"},
+    bottom={"bottom_class": "speech"}, subsample=[1],
+    post_merge_dims=[10], max_decoded_length_scale=1.0)
+
+
+def _data(seed=1, T=14, TL=6):
+    rng = np.random.RandomState(seed)
+    inputs = jnp.asarray(rng.randn(U, T, 5), jnp.float32)
+    mask = jnp.asarray((np.arange(T)[None]
+                        < np.array([[T], [T - 3], [T]])).astype("f"))
+    labels = jnp.asarray(rng.randint(0, 5, size=(U, TL)), jnp.int32)
+    lmask = jnp.asarray((np.arange(TL)[None]
+                         < np.array([[TL], [TL - 2], [3]])).astype("f"))
+    return inputs, mask, labels, lmask
+
+
+def _cost_and_grad(cfg, use_pallas, params, data):
+    net = RecognizerNet(**dict(cfg, use_pallas=use_pallas))
+    inputs, mask, labels, lmask = data
+
+    def cost(p):
+        out = net.apply(p, inputs, mask, labels, lmask,
+                        method=net.cost)
+        return out["costs"].sum()
+
+    out = net.apply(params, inputs, mask, labels, lmask,
+                    method=net.cost)
+    grad = jax.grad(cost)(params)
+    return out, grad
+
+
+# quick gate runs the flagship expanding prior; the other window kinds
+# (same mask plumbing, different window math) run in the slow suite
+@pytest.mark.parametrize("prior,states_readout", [
+    ({"type": "expanding", "initial_begin": 0, "initial_end": 6,
+      "min_speed": 1.0, "max_speed": 2.0}, False),
+    pytest.param({"type": "window_around_mean", "before": 3, "after": 3},
+                 False, marks=pytest.mark.slow),
+    pytest.param({"type": "window_around_median", "before": 3, "after": 3},
+                 False, marks=pytest.mark.slow),
+    pytest.param({"type": "window_around_median", "before": 3, "after": 3},
+                 True, marks=pytest.mark.slow),
+])
+def test_fused_train_scan_matches_xla(prior, states_readout):
+    cfg = dict(BASE, prior=prior, use_states_for_readout=states_readout)
+    data = _data()
+    net = RecognizerNet(**dict(cfg, use_pallas="never"))
+    params = net.init(jax.random.PRNGKey(0), *data, method=net.cost)
+
+    ref_out, ref_grad = _cost_and_grad(cfg, "never", params, data)
+    fused_out, fused_grad = _cost_and_grad(cfg, "interpret", params,
+                                           data)
+
+    for key in ("costs", "weights", "energies"):
+        assert_allclose(np.asarray(fused_out[key]),
+                        np.asarray(ref_out[key]), rtol=2e-4, atol=1e-5,
+                        err_msg=key)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(ref_grad)
+    flat_fused = dict(jax.tree_util.tree_flatten_with_path(fused_grad)[0])
+    checked = 0
+    for path, leaf in flat_ref:
+        got = None
+        for p2, l2 in jax.tree_util.tree_flatten_with_path(fused_grad)[0]:
+            if p2 == path:
+                got = l2
+                break
+        name = jax.tree_util.keystr(path)
+        assert got is not None, name
+        assert_allclose(np.asarray(got), np.asarray(leaf), rtol=5e-4,
+                        atol=5e-5, err_msg=name)
+        checked += 1
+    assert checked > 10
+
+
+def test_fused_route_is_taken():
+    """The interpret gate actually routes through the kernel (guard
+    against silently testing XLA vs XLA)."""
+    import attention_lvcsr_tpu.ops.pallas.decoder_train as dt
+    calls = []
+    orig = dt.decoder_scan_train
+    dt.decoder_scan_train = lambda *a, **k: (calls.append(1),
+                                             orig(*a, **k))[1]
+    try:
+        cfg = dict(BASE, prior={"type": "window_around_median",
+                                "before": 3, "after": 3})
+        data = _data()
+        net = RecognizerNet(**dict(cfg, use_pallas="interpret"))
+        params = net.init(jax.random.PRNGKey(0), *data, method=net.cost)
+        net.apply(params, *data, method=net.cost)
+    finally:
+        dt.decoder_scan_train = orig
+    assert calls, "fused decoder route was not taken"
