@@ -684,16 +684,25 @@ class SequenceGenerator(nn.Module):
         if lm is not None and not lm.is_csr:
             # dense packed-FST tables for in-kernel shallow fusion
             # (lvsr/ops.py:124-233 semantics, VMEM-resident).  Kernel
-            # layout: per-successor-slot (K, S, V) planes so every
-            # gather is a 2-D one-hot matmul; state ids ride as f32.
+            # layout: ``exp(-(total_weight - tau))`` so the per-symbol
+            # logsumexp costs become ONE multi-hot matmul (tau keeps
+            # pushed graphs' negative weights inside f32's exp range);
+            # next_state/next_weight k-flattened to (S, K*V) so one
+            # shared one-hot + two matmuls gather every successor
+            # plane; state ids ride as f32.
             tlm = lm.tables.value
             f32 = jnp.float32
+            tw = tlm["total_weight"].astype(f32)
+            tau = jnp.minimum(0.0, tw.min())
+            S_lm, V_lm = tw.shape
+            kflat = lambda a: jnp.transpose(
+                a, (0, 2, 1)).reshape(S_lm, -1).astype(f32)
             t.update({
-                "lm_total": tlm["total_weight"].astype(f32),
-                "lm_ns": jnp.transpose(
-                    tlm["next_state"], (2, 0, 1)).astype(f32),
-                "lm_nw": jnp.transpose(
-                    tlm["next_weight"], (2, 0, 1)).astype(f32),
+                "lm_exp_total": jnp.where(
+                    tw >= 1e29, 0.0, jnp.exp(-(tw - tau))),
+                "lm_tau": tau.reshape(1, 1),
+                "lm_ns_flat": kflat(tlm["next_state"]),
+                "lm_nw_flat": kflat(tlm["next_weight"]),
                 "lm_start_states": tlm["start_states"].astype(
                     f32).reshape(1, -1),
                 "lm_start_weights": tlm["start_weights"].astype(

@@ -27,8 +27,10 @@ log-likelihood criterion, no decode constraint) — now INCLUDING
   (``exp/wsj/decode.sh:7-26``); here the per-hypothesis live state set
   (<= ``m_lm`` states + weights, the reference's ``MAX_STATES=7`` bound,
   lvsr/ops.py:23) rides in VMEM scratch, the dense packed tables
-  (``total_weight`` (S,V), per-slot ``next_state``/``next_weight``
-  (K,S,V)) are kernel inputs, per-symbol LM costs and the successor
+  (``exp(-(total_weight - tau))`` (S,V) for one-matmul exp-domain
+  logsumexp costs, k-flattened ``next_state``/``next_weight``
+  (S, K*V) so one shared one-hot + two matmuls gather every successor
+  plane) are kernel inputs, per-symbol LM costs and the successor
   merge (dedup by logsumexp + best-M) are computed inside the loop, and
   the ``ShallowFusionReadout`` combination
   (lvsr/bricks/language_models.py:74-104) folds them into the ranking.
@@ -92,14 +94,15 @@ def _kernel(*refs,
             initial_begin, initial_end, min_speed, max_speed,
             l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
             norm_am, norm_lm, norm_tot, no_trans):
-    n_in = 22 + (5 if lm else 0)
+    n_in = 22 + (6 if lm else 0)
     (pre_ref, att_ref, mask_ref,
      toep_ref, tri_ref, st_ref, handler_ref, v_ref,
      merge_ref, mergeb_ref, post_ref, postb_ref,
      embed_ref, fin_ref, finb_ref, fgate_ref, fgateb_ref,
      din_ref, dgate_ref, wsg_ref, wss_ref, h0_ref) = refs[:22]
     if lm:
-        (lmt_ref, lmns_ref, lmnw_ref, lmss_ref, lmsw_ref) = refs[22:27]
+        (lmexp_ref, lmnsf_ref, lmnwf_ref, lmtau_ref,
+         lmss_ref, lmsw_ref) = refs[22:28]
     (done_out_ref, done_meta_ref, steps_ref) = refs[n_in:n_in + 3]
     (h_sc, w_sc, aout_sc, acost_sc, dout_sc, dcost_sc, dadj_sc,
      dlen_sc) = refs[n_in + 3:n_in + 11]
@@ -181,10 +184,14 @@ def _kernel(*refs,
                                 (G, K, 1)).reshape(R, 1)
 
     if lm:
-        S_lm = lmt_ref.shape[0]
+        S_lm = lmexp_ref.shape[0]
         Mlm = m_lm
         N_lm = Mlm * k_arc                    # successor candidates/row
-        lm_total = lmt_ref[:].astype(f32)     # (S_lm, V)
+        lm_exp = lmexp_ref[:].astype(f32)     # (S_lm, V) exp(-(t - tau))
+        lm_tau = lmtau_ref[0, 0]
+        lmns_flat = lmnsf_ref[:].astype(f32)  # (S_lm, k_arc*V)
+        lmnw_flat = lmnwf_ref[:].astype(f32)
+        iota_s2 = jax.lax.broadcasted_iota(jnp.int32, (R, S_lm), 1)
         iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (R, Mlm, S_lm), 2)
         lane_m = jax.lax.broadcasted_iota(jnp.int32, (R, Mlm), 1)
         lane_n = jax.lax.broadcasted_iota(jnp.int32, (R, N_lm), 1)
@@ -192,68 +199,75 @@ def _kernel(*refs,
         # path's flat order is m*k_arc + k — tie-break on ord, not n
         ord_n = ((lane_n % Mlm) * k_arc + lane_n // Mlm)
         ordn3 = ord_n[:, :, None]             # (R, N, 1)
-
-        def lm_gather(states, table2d):
-            """Rows of (S_lm, X) gathered per (row, live-slot) state ->
-            (R, Mlm, X).  One-hot matmul; integer outputs need round()
-            (bf16-pass perturbation)."""
-            onehot = (iota_s3 == states[:, :, None].astype(
-                jnp.int32)).astype(f32)
-            flat = dot(onehot.reshape(R * Mlm, S_lm), table2d)
-            return flat.reshape(R, Mlm, table2d.shape[-1])
+        kv_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (R * Mlm, k_arc * V), 1)
+        # 0/1 block-sum matrix: column j of the (k_arc*V)-wide gather
+        # belongs to successor plane j // V
+        blocksel = (jax.lax.broadcasted_iota(
+            jnp.int32, (k_arc * V, k_arc), 0) // V
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (k_arc * V, k_arc), 1)).astype(f32)
 
         def lm_costs(states, weights):
-            """FSTCostsOp inside the kernel: per-symbol transition costs
-            (R, V) for the live sets (models/lm.py:_costs semantics)."""
+            """FSTCostsOp inside the kernel (models/lm.py:_costs).
+
+            Exp-domain logsumexp: the live set collapses into ONE
+            weighted multi-hot row and the whole -logsumexp over
+            (live slots x target symbols) is a single (R,S)x(S,V)
+            matmul against exp(-(total_weight - tau)).  Needs the
+            per-set weight spread plus arc weights inside f32's exp
+            range (~80 nats) — comfortably true for pushed LG graphs,
+            whose weights are bounded by -log P plus pushing slack."""
             valid = states >= NOT_STATE + 0.5          # (R, Mlm)
-            tw3 = lm_gather(states, lm_total)          # (R, Mlm, V)
-            nxt3 = weights[:, :, None] + tw3
-            # -logsumexp(-nxt) over the M live slots, unrolled (M <= 7)
-            mmin = jnp.full((R, V), BIG, f32)
+            wv = jnp.where(valid, weights, BIG)
+            wmin = jnp.min(wv, axis=1, keepdims=True)  # (R, 1)
+            P = jnp.zeros((R, S_lm), f32)
+            csum = jnp.zeros((R, 1), f32)
             for m in range(Mlm):
-                vm = valid[:, m:m + 1]
-                mmin = jnp.minimum(
-                    mmin, jnp.where(vm, nxt3[:, m, :], BIG))
-            ssum = jnp.zeros((R, V), f32)
-            for m in range(Mlm):
-                vm = valid[:, m:m + 1]
-                term = jnp.exp(jnp.minimum(mmin - nxt3[:, m, :], 0.0))
-                ssum = ssum + jnp.where(vm, term, 0.0)
-            nxt_total = jnp.where(ssum > 0.0,
-                                  mmin - jnp.log(jnp.maximum(ssum, 1e-38)),
-                                  BIG)
-            # total weight of the current set (lane reduce over M)
-            wvalid = jnp.where(valid, weights, BIG)
-            m0 = jnp.min(wvalid, axis=1, keepdims=True)       # (R, 1)
-            s0 = jnp.sum(jnp.where(valid,
-                                   jnp.exp(jnp.minimum(m0 - weights, 0.0)),
-                                   0.0), axis=1, keepdims=True)
-            total = m0 - jnp.log(jnp.maximum(s0, 1e-38))
-            has_any = jnp.max(valid.astype(f32), axis=1,
-                              keepdims=True) > 0.0
-            # dense-table padding is INF_COST = 1e30 (float-finite)
-            reachable = (nxt_total < 1e29) & has_any
-            return jnp.where(reachable, nxt_total - total,
+                c = jnp.where(valid[:, m:m + 1],
+                              jnp.exp(jnp.minimum(
+                                  wmin - weights[:, m:m + 1], 0.0)),
+                              0.0)                     # (R, 1)
+                onehot = (iota_s2 == states[:, m:m + 1]
+                          .astype(jnp.int32)).astype(f32)
+                P = P + c * onehot
+                csum = csum + c
+            nxt_exp = dot(P, lm_exp)                   # (R, V)
+            # nxt_total = wmin + tau - log(nxt_exp);
+            # total     = wmin - log(csum);   costs = nxt_total - total
+            # (unreachable targets hit exact exp zeros: the table
+            # stores 0 where total_weight is the 1e30 padding)
+            reachable = (nxt_exp > 0.0) & (csum > 0.0)
+            costs = (jnp.log(jnp.maximum(csum, 1e-38))
+                     - jnp.log(jnp.maximum(nxt_exp, 1e-38)) + lm_tau)
+            return jnp.where(reachable, costs,
                              jnp.asarray(no_trans, f32))
 
         def lm_advance(states, weights, symbols):
             """One FST transition for chosen symbols: gather closed
             successor slots, merge duplicates by logsumexp, keep best-M
-            (models/lm.py:one_step semantics, ord-exact tie order)."""
+            (models/lm.py:one_step semantics, ord-exact tie order).
+
+            One shared one-hot and two (R*M,S)x(S,k*V) matmuls fetch
+            every successor plane at once; the chosen symbol's column
+            is selected per k-block by mask + 0/1 block-sum matmul
+            (each output sums exactly one nonzero — exact)."""
             valid = states >= NOT_STATE + 0.5
-            sym3 = symbols[:, :, None]                 # (R, 1, 1)
-            iota_v3 = jax.lax.broadcasted_iota(
-                jnp.int32, (R, Mlm, V), 2).astype(f32)
-            sym_mask = (iota_v3 == sym3).astype(f32)   # (R, Mlm, V)
+            onehot = (iota_s3 == states[:, :, None]
+                      .astype(jnp.int32)).astype(f32)
+            oh = onehot.reshape(R * Mlm, S_lm)
+            g_ns = dot(oh, lmns_flat)                  # (R*M, k*V)
+            g_nw = dot(oh, lmnw_flat)
+            sym_rm = jnp.broadcast_to(
+                symbols[:, None, :], (R, Mlm, 1)).reshape(R * Mlm, 1)
+            sym_mask = ((kv_iota % V).astype(f32) == sym_rm).astype(f32)
+            ns_sel = dot(g_ns * sym_mask, blocksel)    # (R*M, k_arc)
+            nw_sel = dot(g_nw * sym_mask, blocksel)
             ns_parts, nw_parts = [], []
             for k in range(k_arc):
-                g_ns = lm_gather(states, lmns_ref[k].astype(f32))
-                g_nw = lm_gather(states, lmnw_ref[k].astype(f32))
-                # select this row's symbol column (exact: elementwise
-                # mask + lane reduce, no matmul)
-                ns_k = jnp.sum(g_ns * sym_mask, axis=2)     # (R, Mlm)
-                nw_k = jnp.sum(g_nw * sym_mask, axis=2)
-                ns_k = jnp.round(ns_k)               # exact int recovery
+                # (R*M, 1) -> (R, M): the supported column-split reshape
+                ns_k = jnp.round(ns_sel[:, k:k + 1].reshape(R, Mlm))
+                nw_k = nw_sel[:, k:k + 1].reshape(R, Mlm)
                 ns_k = jnp.where(valid, ns_k, NOT_STATE)
                 nw_k = weights + nw_k
                 ns_parts.append(ns_k)
@@ -742,17 +756,18 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         pltpu.VMEM((G * K, 1), f32),          # done len
     ]
     if lm:
-        S_lm = tables["lm_total"].shape[0]
+        S_lm = tables["lm_exp_total"].shape[0]
         in_specs += [
-            full(S_lm, V),             # lm total_weight
-            full(int(k_arc), S_lm, V),  # lm next_state planes
-            full(int(k_arc), S_lm, V),  # lm next_weight planes
-            full(1, int(m_lm)),        # lm start states
-            full(1, int(m_lm)),        # lm start weights
+            full(S_lm, V),                  # lm exp(-(total_weight-tau))
+            full(S_lm, int(k_arc) * V),     # lm next_state, k-flattened
+            full(S_lm, int(k_arc) * V),     # lm next_weight, k-flattened
+            full(1, 1),                     # lm tau
+            full(1, int(m_lm)),             # lm start states
+            full(1, int(m_lm)),             # lm start weights
         ]
-        inputs += [tables["lm_total"], tables["lm_ns"],
-                   tables["lm_nw"], tables["lm_start_states"],
-                   tables["lm_start_weights"]]
+        inputs += [tables["lm_exp_total"], tables["lm_ns_flat"],
+                   tables["lm_nw_flat"], tables["lm_tau"],
+                   tables["lm_start_states"], tables["lm_start_weights"]]
         scratch_shapes += [
             pltpu.VMEM((G * K, int(m_lm)), f32),  # lm live states
             pltpu.VMEM((G * K, int(m_lm)), f32),  # lm live weights
