@@ -279,6 +279,7 @@ def test_lm_fusion_kernel_parity(tmp_path):
     _assert_parity(ref, loop)
 
 
+@pytest.mark.slow  # flag-combination sweep; base LM-fusion parity runs in the quick gate
 def test_lm_fusion_kernel_parity_flag_combos(tmp_path):
     """ShallowFusionReadout normalization flags and am_beta."""
     for overrides in (

@@ -161,6 +161,7 @@ def test_maxout_tag_resolution():
     assert config["net"]["post_merge_activation"] == "maxout:2"
 
 
+@pytest.mark.slow  # full wsj_good lineage build-and-step
 def test_wsj_good_builds_and_steps():
     """The pre-paper `wsj_good` lineage exercises keys the paper chain
     does not: rectifier bottom, use_states_for_readout, the

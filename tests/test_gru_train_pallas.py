@@ -80,6 +80,7 @@ def test_no_mask_and_vmap_compat(inputs):
                     atol=1e-6)
 
 
+@pytest.mark.slow  # full-recognizer grad parity; kernel-level parity runs in the quick gate
 def test_recognizer_cost_grads_match_through_train_kernel():
     """Full cost-graph gradients with the fused train scan
     (use_pallas='interpret' -> train_interpret on CPU) match the pure
@@ -119,6 +120,7 @@ def test_recognizer_cost_grads_match_through_train_kernel():
                         err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow  # interpret-mode bidirectional kernel is heavy on 1 CPU
 def test_bidirectional_fused_matches_xla():
     """The fused both-directions kernel (Bidirectional fast path)
     matches the XLA per-direction path in values and gradients."""

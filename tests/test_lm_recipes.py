@@ -9,6 +9,10 @@ import sys
 import numpy as np
 import pytest
 
+# the umbrella graph-family build shells out to make_all_wsj_graphs.sh
+# (~45 s on 1 CPU); the pipeline itself is covered quick by test_fst_algo
+pytestmark = pytest.mark.slow
+
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 TOY_ARPA = """\\data\\

@@ -17,6 +17,7 @@ def _batches():
         yield {"x": np.full((2, 3), i, "float32"), "idx": i}
 
 
+@pytest.mark.slow  # spawn-based TCP server roundtrip; test_multiprocess_stream keeps spawn coverage quick
 def test_server_roundtrip():
     proc, port = start_server(_batches, epochs=1)
     try:

@@ -55,6 +55,7 @@ def _one_step(step_fn, params, opt_state, batch, mesh):
     return new_params, new_opt, float(monitors["train_cost"])
 
 
+@pytest.mark.slow  # mesh->mesh resharding also covered by the driver dryrun; single-device roundtrip stays quick
 def test_roundtrip_into_smaller_tp_mesh(tmp_path, setup):
     rec, optimizer, step_fn, batch = setup
     mesh_a = make_mesh(8, model_parallel=2)          # dp4 x tp2
