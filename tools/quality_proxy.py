@@ -381,7 +381,12 @@ def main(argv=None):
     ap.add_argument("--out", default="QUALITY_r03.json")
     ap.add_argument("--work", default=".quality_work")
     ap.add_argument("--fast", action="store_true",
-                    help="tiny model + corpus (CI smoke)")
+                    help="alias for --tier fast (CI smoke)")
+    ap.add_argument("--tier", choices=("fast", "medium", "full"),
+                    default="full",
+                    help="fast: tiny CI smoke; medium: ~30-60 min on one "
+                         "chip, enough signal for the LM/beam tradeoffs; "
+                         "full: the paper-shaped 4x250 model")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the checkpoint in --work")
@@ -395,19 +400,24 @@ def main(argv=None):
 
     rng = np.random.RandomState(args.seed)
     os.makedirs(args.work, exist_ok=True)
-    fast = args.fast
-
-    n_train = 400 if fast else 8000
-    n_valid = 50 if fast else 256
-    n_test = 50 if fast else 256
-    num_words = 16 if fast else 30
+    tier = "fast" if args.fast else args.tier
+    fast = tier == "fast"
+    # one sizing row per tier: corpus / acoustics / model / schedule
+    SIZES = {
+        #        n_tr  n_va n_te words len    feat fr    noise B  dim  layers          sub      ep
+        "fast":   (400,  50,  50, 16, (3, 5), 12, (3, 5), 0.8, 16,  32, [32, 32],       [1, 2],    (1, 2)),
+        "medium": (2000, 128, 128, 30, (4, 8), 20, (4, 7), 1.0, 32,  96, [96, 96],       [1, 2],    (2, 5)),
+        "full":   (8000, 256, 256, 30, (4, 9), 40, (6, 10), 1.0, 32, 250, [250] * 4,     [1, 1, 2, 2], (2, 8)),
+    }
+    (n_train, n_valid, n_test, num_words, (min_len, max_len), feat_dim,
+     (frames_lo, frames_hi), noise, batch_size, dim, dims_bidir,
+     subsample, (pretrain_epochs, main_epochs)) = SIZES[tier]
 
     # 1+2: language + ARPA
     words, succ = make_language(rng, num_words=num_words)
     corpus = sample_corpus(words, succ, rng,
                            n_train + n_valid + n_test,
-                           min_len=3 if fast else 4,
-                           max_len=5 if fast else 9)
+                           min_len=min_len, max_len=max_len)
     arpa_path = os.path.join(args.work, "lm.arpa")
     estimate_arpa(corpus[:n_train], words, arpa_path)
 
@@ -435,10 +445,8 @@ def main(argv=None):
     # 4: acoustics
     dataset = os.path.join(args.work, "synth.h5")
     make_dataset(dataset, corpus, value_map, rng,
-                 feat_dim=12 if fast else 40,
-                 frames_lo=3 if fast else 6,
-                 frames_hi=5 if fast else 10,
-                 noise=0.8 if fast else 1.0,
+                 feat_dim=feat_dim, frames_lo=frames_lo,
+                 frames_hi=frames_hi, noise=noise,
                  splits=(("train", n_train), ("valid", n_valid),
                          ("test", n_test)))
 
@@ -447,12 +455,9 @@ def main(argv=None):
     with open(cfg_path, "w") as f:
         f.write(CONFIG_TEMPLATE.format(
             dataset=os.path.abspath(dataset),
-            batch_size=16 if fast else 32,
-            dim=32 if fast else 250,
-            dims_bidir="[32, 32]" if fast else "[250, 250, 250, 250]",
-            subsample="[1, 2]" if fast else "[1, 1, 2, 2]",
-            pretrain_epochs=1 if fast else 2,
-            main_epochs=2 if fast else 8,
+            batch_size=batch_size, dim=dim,
+            dims_bidir=str(dims_bidir), subsample=str(subsample),
+            pretrain_epochs=pretrain_epochs, main_epochs=main_epochs,
         ))
     config = Configuration(cfg_path)
     save_dir = os.path.join(args.work, "model")
@@ -487,6 +492,7 @@ def main(argv=None):
     out = {
         "task": "synthetic-language quality-parity proxy "
                 "(reference exp/wsj/README.md:38-75 role)",
+        "tier": tier,
         "fast_mode": fast,
         "language": {"words": len(words),
                      "arpa": arpa_path,
