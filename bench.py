@@ -435,14 +435,27 @@ def main():
     _enable_compilation_cache()
 
     # Streamed partial results: each completed row lands in
-    # .bench_partial.json immediately, so a wedged compile or a driver
-    # timeout late in the run cannot zero out the whole artifact.
+    # .bench_partial.json immediately (in the final artifact's shape,
+    # with the headline metric as soon as decode_best exists), so a
+    # wedged compile or a driver timeout late in the run cannot zero
+    # out the whole artifact.
     detail = {}
 
     def done(key, value):
         detail[key] = value
+        partial = {"partial": True, "detail": detail}
+        if "decode_best" in detail:
+            partial.update({
+                "metric": ("wsj-shaped utterances/sec/chip, encode + "
+                           "beam-10 decode (whole-loop Pallas decode "
+                           "kernel)"),
+                "value": detail["decode_best"]["utt_per_s"],
+                "unit": "utt/s",
+                "vs_baseline": round(
+                    detail["decode_best"]["realtime_factor"] / 100.0, 3),
+            })
         with open(PARTIAL_PATH, "w") as f:
-            json.dump(detail, f, indent=1)
+            json.dump(partial, f, indent=1)
         return value
 
     best = done("decode_best", bench_decode(
