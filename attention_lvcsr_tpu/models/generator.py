@@ -615,6 +615,7 @@ class SequenceGenerator(nn.Module):
                 and type(self.readout) is Readout
                 and self.readout.post_merge_dims is not None
                 and len(self.readout.post_merge_dims) == 1
+                and self.readout.post_merge_activation == "tanh"
                 and "feedback" not in self.readout.source_names)
 
     def fused_score_tables(self, length, dtype):
@@ -633,15 +634,28 @@ class SequenceGenerator(nn.Module):
         merge = self.readout.merge["weighted_averages"]
         post = self.readout.post_merge[0]
         R = self.readout.merged_dim
-        post_b = post(jnp.zeros((1, R), dtype))[0]
+        # maxout shrinks the activation before the post-merge MLP
+        act = self.readout.post_merge_activation
+        pieces = (int(act.split(":")[1]) if act.startswith("maxout")
+                  and ":" in act else (2 if act.startswith("maxout")
+                                       else 1))
+        Ra = R // pieces
+        post_b = post(jnp.zeros((1, Ra), dtype))[0]
+        # non-softmax normalizers use a biased energy projection
+        # (models/attention.py:186)
+        if att.energy_normalizer != "softmax":
+            e_b = att.energy(jnp.zeros((1, M), dtype))[0, 0]
+        else:
+            e_b = jnp.zeros((), dtype)
         return {
             "state_trans": att.state_trans[state_name](
                 jnp.eye(S, dtype=dtype)),
             "handler": att.filter_handler(jnp.ones((1, 1), dtype))[0],
-            "v": att.energy(jnp.eye(M, dtype=dtype))[:, 0],
+            "v": att.energy(jnp.eye(M, dtype=dtype))[:, 0] - e_b,
+            "energy_b": e_b.reshape(1, 1),
             "merge_k": merge(jnp.eye(D, dtype=dtype)),
             "merge_b": self.readout.merge_bias.astype(dtype),
-            "post_k": post(jnp.eye(R, dtype=dtype)) - post_b[None, :],
+            "post_k": post(jnp.eye(Ra, dtype=dtype)) - post_b[None, :],
             "post_b": post_b,
             "toeplitz": toeplitz_band(
                 att.conv_filters.astype(jnp.float32), length),
@@ -680,6 +694,9 @@ class SequenceGenerator(nn.Module):
             "wss": cell.state_to_state.astype(dtype),
             "h0": cell.initial_state.astype(dtype),
         })
+        if self.use_states_for_readout:
+            t["merge_states_k"] = self.readout.merge["states"](
+                jnp.eye(S, dtype=dtype))
         lm = self.language_model
         if lm is not None and not lm.is_csr:
             # dense packed-FST tables for in-kernel shallow fusion

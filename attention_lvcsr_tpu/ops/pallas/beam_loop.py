@@ -93,16 +93,22 @@ def _kernel(*refs,
             char_discount, round_to_inf, prior, before, after,
             initial_begin, initial_end, min_speed, max_speed,
             l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
-            norm_am, norm_lm, norm_tot, no_trans):
-    n_in = 22 + (6 if lm else 0)
+            norm_am, norm_lm, norm_tot, no_trans,
+            normalizer, states_readout, maxout):
+    n_in = 23 + (1 if states_readout else 0) + (6 if lm else 0)
     (pre_ref, att_ref, mask_ref,
      toep_ref, tri_ref, st_ref, handler_ref, v_ref,
      merge_ref, mergeb_ref, post_ref, postb_ref,
      embed_ref, fin_ref, finb_ref, fgate_ref, fgateb_ref,
-     din_ref, dgate_ref, wsg_ref, wss_ref, h0_ref) = refs[:22]
+     din_ref, dgate_ref, wsg_ref, wss_ref, h0_ref,
+     eb_ref) = refs[:23]
+    nxt = 23
+    if states_readout:
+        ms_ref = refs[nxt]
+        nxt += 1
     if lm:
         (lmexp_ref, lmnsf_ref, lmnwf_ref, lmtau_ref,
-         lmss_ref, lmsw_ref) = refs[22:28]
+         lmss_ref, lmsw_ref) = refs[nxt:nxt + 6]
     (done_out_ref, done_meta_ref, steps_ref) = refs[n_in:n_in + 3]
     (h_sc, w_sc, aout_sc, acost_sc, dout_sc, dcost_sc, dadj_sc,
      dlen_sc) = refs[n_in + 3:n_in + 11]
@@ -131,6 +137,9 @@ def _kernel(*refs,
     merge_b = mergeb_ref[:].astype(f32)
     post_k = post_ref[:].astype(f32)
     post_b = postb_ref[:].astype(f32)
+    e_bias = eb_ref[0, 0].astype(f32)
+    if states_readout:
+        merge_s = ms_ref[:].astype(f32)       # (S, Rm)
     embed = embed_ref[:].astype(f32)          # (Vf, F)
     fin = fin_ref[:].astype(f32)
     finb = finb_ref[:].astype(f32)
@@ -426,17 +435,35 @@ def _kernel(*refs,
                 + sp.reshape(G, K, 1, M)
                 + conv[:, l0:l0 + lt].reshape(G, K, lt, 1)
                 * handler.reshape(1, 1, 1, M))
-            parts.append(dot(match.reshape(R * lt, M), v).reshape(R, lt))
+            parts.append(dot(match.reshape(R * lt, M), v).reshape(R, lt)
+                         + e_bias)
         energies = (parts[0] if len(parts) == 1
                     else jnp.concatenate(parts, axis=1))    # (R, L)
 
-        # ---- masked softmax ------------------------------------------
-        masked = jnp.where(gmask > 0, energies, NEG)
-        mx = jnp.max(masked, axis=1, keepdims=True)
-        mx = jnp.where(mx > NEG / 2, mx, 0.0)
-        unnorm = jnp.exp(energies - mx) * combined
+        # ---- masked normalization (attention.py:_normalize) ----------
+        if normalizer == "softmax":
+            masked = jnp.where(gmask > 0, energies, NEG)
+            mx = jnp.max(masked, axis=1, keepdims=True)
+            mx = jnp.where(mx > NEG / 2, mx, 0.0)
+            unnorm = jnp.exp(energies - mx) * combined
+        elif normalizer == "logistic":
+            unnorm = jax.nn.sigmoid(energies) * combined
+        else:  # relu
+            unnorm = jnp.maximum(energies / 1000.0, 0.0) * combined
         denom = unnorm.sum(axis=1, keepdims=True) + \
             (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
+        # relu is the one normalizer whose unnormalized weights can be
+        # all-zero over a nonzero mask (all energies <= 0): the XLA path
+        # divides 0/0 there and the row's NaN candidates simply lose
+        # lax.top_k and are never gathered.  Here NaN would poison the
+        # min-based selection AND the one-hot gather matmuls (0*NaN), so
+        # give such rows zero weights and force their candidates to lose
+        # the selection below — the same observable outcome.
+        if normalizer == "relu":
+            bad_row = denom == 0.0                      # (R, 1)
+            denom = denom + bad_row.astype(f32)
+        else:
+            bad_row = None
         wnew = unnorm / denom                           # (R, L)
 
         # ---- readout (weighted averages, batched per utterance) ------
@@ -448,7 +475,27 @@ def _kernel(*refs,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32,
             precision=jax.lax.Precision.HIGHEST).reshape(R, -1)  # (R, D)
-        act = jnp.tanh(dot(wa, merge_k) + merge_b)
+        merged = dot(wa, merge_k) + merge_b
+        if states_readout:
+            merged = merged + dot(h, merge_s)
+        if maxout:
+            # max over groups of ``maxout`` consecutive units
+            # (Readout._activation): value selection by exact 0/1
+            # matmuls (one nonzero per output), then elementwise max
+            Rm = merged.shape[1]
+            rows_m = jax.lax.broadcasted_iota(
+                jnp.int32, (Rm, Rm // maxout), 0)
+            cols_m = jax.lax.broadcasted_iota(
+                jnp.int32, (Rm, Rm // maxout), 1)
+            piece0 = None
+            for p in range(maxout):
+                sel = (rows_m == cols_m * maxout + p).astype(f32)
+                val = dot(merged, sel)                  # (R, Rm//maxout)
+                piece0 = val if piece0 is None else \
+                    jnp.maximum(piece0, val)
+            act = piece0
+        else:
+            act = jnp.tanh(merged)
         logits = dot(act, post_k) + post_b              # (R, V)
         if not lm:
             lmx = jnp.max(logits, axis=1, keepdims=True)
@@ -470,6 +517,8 @@ def _kernel(*refs,
             if norm_tot:
                 x = x - lane_lse(x)
             costs = -x
+        if bad_row is not None:
+            costs = jnp.where(bad_row, BIG, costs)
 
         # ---- top-k over each utterance's K*V candidates --------------
         # Candidates stay in row space (R, V); per-utterance reductions
@@ -639,14 +688,16 @@ def pick_l_chunk(beam, group, length, match_dim):
                      "ignore_first_eol", "char_discount", "round_to_inf",
                      "prior", "before", "after", "initial_begin",
                      "initial_end", "min_speed", "max_speed", "group",
-                     "lm_fusion", "interpret"))
+                     "lm_fusion", "normalizer", "states_readout",
+                     "maxout", "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
                      beam, max_len, eol, stop_on="patience",
                      ignore_first_eol=False, char_discount=0.0,
                      round_to_inf=1e9, prior="expanding", before=0.0,
                      after=0.0, initial_begin=0.0, initial_end=1e4,
                      min_speed=0.0, max_speed=0.0, group=16,
-                     lm_fusion=None, interpret=False):
+                     lm_fusion=None, normalizer="softmax",
+                     states_readout=False, maxout=0, interpret=False):
     """Run the full decode loop.  Returns (done_out (U,K,max_len) int32,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
@@ -665,6 +716,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     D = attended.shape[-1]
     S = tables["wss"].shape[0]
     R = tables["merge_k"].shape[-1]
+    Ra = tables["post_k"].shape[0]
     V = tables["post_k"].shape[-1]
     Vf = tables["embed"].shape[0]
     F = tables["embed"].shape[-1]
@@ -701,7 +753,9 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         lm=lm, m_lm=int(m_lm), k_arc=int(k_arc),
         lm_weight=float(lm_weight), am_beta=float(am_beta),
         norm_am=bool(norm_am), norm_lm=bool(norm_lm),
-        norm_tot=bool(norm_tot), no_trans=float(no_trans))
+        norm_tot=bool(norm_tot), no_trans=float(no_trans),
+        normalizer=str(normalizer), states_readout=bool(states_readout),
+        maxout=int(maxout))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -721,7 +775,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         full(M, 1),             # v
         full(D, R),             # merge kernel
         full(1, R),             # merge bias
-        full(R, V),             # post kernel
+        full(Ra, V),            # post kernel (maxout shrinks R -> Ra)
         full(1, V),             # post bias
         full(Vf, F),            # feedback embedding
         full(F, S),             # fork inputs W
@@ -733,6 +787,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         full(S, 2 * S),         # GRU state_to_gates
         full(S, S),             # GRU state_to_state
         full(1, S),             # GRU initial state
+        full(1, 1),             # energy bias (non-softmax normalizers)
     ]
     inputs = [pre, attended, att_mask.reshape(U_pad, 1, L),
               tables["toeplitz"], tables["tri"], tables["state_trans"],
@@ -744,7 +799,11 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
               tables["fork_gate_b"].reshape(1, 2 * S),
               tables["dist_in_w"], tables["dist_gate_w"],
               tables["wsg"], tables["wss"],
-              tables["h0"].reshape(1, S)]
+              tables["h0"].reshape(1, S),
+              tables["energy_b"].reshape(1, 1).astype(jnp.float32)]
+    if states_readout:
+        in_specs.append(full(S, R))
+        inputs.append(tables["merge_states_k"])
     scratch_shapes = [
         pltpu.VMEM((G * K, S), f32),          # h
         pltpu.VMEM((G * K, L), f32),          # weights

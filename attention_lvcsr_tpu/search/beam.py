@@ -337,17 +337,18 @@ class BeamSearch:
                 return None
         crit = dict(net.criterion or {"name": "log_likelihood"})
         canon = lambda n: n.rsplit(".", 1)[-1] if isinstance(n, str) else n
+        act = net.post_merge_activation or "tanh"
         supported = (
             net.attention_type == "content_and_conv"
             and net.conv_num_filters == 1
-            and (net.energy_normalizer or "softmax") == "softmax"
-            and not net.use_states_for_readout
+            and (net.energy_normalizer or "softmax") in (
+                "softmax", "logistic", "relu")
             and crit["name"] == "log_likelihood"
             and net.dec_stack == 1
             and canon(net.dec_transition) in ("gru", "GatedRecurrent")
             and net.post_merge_dims is not None
             and len(net.post_merge_dims) == 1
-            and net.post_merge_activation == "tanh")
+            and (act == "tanh" or act.startswith("maxout")))
         if not supported:
             return None
         if net.use_pallas == "interpret":
@@ -435,11 +436,18 @@ class BeamSearch:
                 bool(lm.get("normalize_lm_weights", False)),
                 bool(lm.get("normalize_tot_weights", False)),
                 float(lm.get("no_transition_cost", 1e12)))
+        act = net.post_merge_activation or "tanh"
+        maxout = 0
+        if act.startswith("maxout"):
+            maxout = int(act.split(":")[1]) if ":" in act else 2
         done_out, done_meta, steps = beam_search_loop(
             data["pre"], data["attended"], data["attended_mask"],
             data["tables"], beam=self.beam_size,
             group=self._loop_group(L, int(tables["v"].shape[0])),
             max_len=max_len, lm_fusion=lm_fusion,
+            normalizer=net.energy_normalizer or "softmax",
+            states_readout=bool(net.use_states_for_readout),
+            maxout=maxout,
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,
             prior=prior.get("type", "expanding"),

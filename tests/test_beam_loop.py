@@ -47,9 +47,9 @@ INIT = {
 }
 
 
-def _build(use_pallas, prior=None, prepend_eos=False):
+def _build(use_pallas, prior=None, prepend_eos=False, **net_overrides):
     cfg = dict(NET_CONFIG, use_pallas=use_pallas, prior=prior,
-               data_prepend_eos=prepend_eos)
+               data_prepend_eos=prepend_eos, **net_overrides)
     rec = SpeechRecognizer(cfg, init_config=INIT, seed=7)
     p = rec.params["params"]["generator"]["readout"]["post_merge_0"]
     p["bias"] = p["bias"].at[EOS].add(1.5)
@@ -63,12 +63,14 @@ def _batch():
     return inputs, mask
 
 
-def _search_both(prior=None, **kwargs):
+def _search_both(prior=None, net_overrides=None, **kwargs):
     inputs, mask = _batch()
     out = {}
     for name, mode in [("xla", "never"), ("loop", "interpret")]:
-        rec = _build(mode, prior=prior)
+        rec = _build(mode, prior=prior, **(net_overrides or {}))
         rec.init_beam_search(3)
+        assert (rec._beam_search._loop_kernel_mode() is not None) \
+            == (mode == "interpret"), "variant must route to the kernel"
         out[name] = rec.beam_search(inputs, mask, as_arrays=True,
                                     **kwargs)
     return out["xla"], out["loop"]
@@ -295,6 +297,23 @@ def test_lm_fusion_kernel_parity_flag_combos(tmp_path):
 def test_lm_fusion_wide_beam_parity(tmp_path):
     """Wide beam (fori-loop selection rounds) + LM fusion together."""
     ref, loop = _search_both_lm(tmp_path, beam=40, char_discount=0.05)
+    _assert_parity(ref, loop)
+
+
+@pytest.mark.parametrize("overrides", [
+    {"use_states_for_readout": True},
+    {"energy_normalizer": "logistic"},
+    {"energy_normalizer": "relu"},
+    {"post_merge_activation": "maxout:2"},
+    {"use_states_for_readout": True,
+     "post_merge_activation": "maxout:2",
+     "energy_normalizer": "logistic"},
+], ids=["states-readout", "logistic", "relu", "maxout", "combined"])
+def test_variant_kernel_parity(overrides):
+    """Non-flagship readout/normalizer variants (the wsj_good /
+    mean_maxout / jan-bhd families, TIMIT nips_smooth) run through the
+    loop kernel with exact parity vs the XLA path."""
+    ref, loop = _search_both(net_overrides=overrides, char_discount=0.1)
     _assert_parity(ref, loop)
 
 
