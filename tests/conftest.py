@@ -26,6 +26,9 @@ jax.config.update("jax_platforms", "cpu")
 if not os.environ.get("LVSR_TEST_NO_CACHE"):
     _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # cache EVERY compile: the gate is thousands of sub-second CPU
+    # compiles (interpret-mode kernels especially), and a disk load is
+    # ~5x cheaper than even a 50 ms compile on this box
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update(
         "jax_persistent_cache_min_entry_size_bytes", -1)

@@ -8,6 +8,8 @@ on the CPU mesh and require the done-set token rows to match the XLA
 path EXACTLY (same candidate selection, same tie-breaking, same stopping
 bookkeeping), with costs equal to float tolerance.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,12 +49,27 @@ INIT = {
 }
 
 
-def _build(use_pallas, prior=None, prepend_eos=False, **net_overrides):
+# recognizers are memoized per config: rebuilding pays a fresh
+# trace+compile of the search paths (~2.6 s each on the 1-CPU gate box)
+# while a cached instance reuses its jitted functions.  Tests that
+# MUTATE the recognizer (params surgery, beam-size churn) pass
+# fresh=True.
+_BUILD_CACHE = {}
+
+
+def _build(use_pallas, prior=None, prepend_eos=False, fresh=False,
+           **net_overrides):
+    key = (use_pallas, repr(prior), prepend_eos,
+           repr(sorted(net_overrides.items())))
+    if not fresh and key in _BUILD_CACHE:
+        return _BUILD_CACHE[key]
     cfg = dict(NET_CONFIG, use_pallas=use_pallas, prior=prior,
                data_prepend_eos=prepend_eos, **net_overrides)
     rec = SpeechRecognizer(cfg, init_config=INIT, seed=7)
     p = rec.params["params"]["generator"]["readout"]["post_merge_0"]
     p["bias"] = p["bias"].at[EOS].add(1.5)
+    if not fresh:
+        _BUILD_CACHE[key] = rec
     return rec
 
 
@@ -159,7 +176,7 @@ def test_table_cache_invalidates_on_param_change():
     """The per-(params, length) dense-table cache must notice in-place
     tree edits (leaf replacement), not just new tree objects."""
     inputs, mask = _batch()
-    rec = _build("interpret")
+    rec = _build("interpret", fresh=True)
     rec.init_beam_search(3)
     out1 = rec.beam_search(inputs, mask, as_arrays=True,
                            char_discount=0.1)
@@ -169,7 +186,7 @@ def test_table_cache_invalidates_on_param_change():
     out2 = rec.beam_search(inputs, mask, as_arrays=True,
                            char_discount=0.1)
     # fresh recognizer with the same perturbation agrees with out2
-    rec3 = _build("interpret")
+    rec3 = _build("interpret", fresh=True)
     p3 = rec3.params["params"]["generator"]["readout"]["post_merge_0"]
     p3["bias"] = p3["bias"].at[0].add(3.0)
     rec3.init_beam_search(3)
@@ -184,7 +201,7 @@ def test_wide_beam_supported_extreme_falls_back():
     """Reference decode.sh uses beam 200 — now IN kernel scope (fori
     selection rounds + L-chunked match tensor); only truly extreme
     configurations route to the XLA path."""
-    rec = _build("interpret")
+    rec = _build("interpret", fresh=True)
     rec.init_beam_search(200)
     assert rec._beam_search._loop_kernel_mode() == "interpret"
     rec.init_beam_search(1000)   # past MAX_LOOP_BEAM
@@ -198,7 +215,7 @@ def test_wide_beam_supported_extreme_falls_back():
 
 
 def test_group_autosizing():
-    rec = _build("interpret")
+    rec = _build("interpret", fresh=True)
     rec.init_beam_search(10)
     bs = rec._beam_search
     assert bs._loop_group(200, 250) == 16
@@ -213,9 +230,22 @@ def test_group_autosizing():
 LM_ARPA_FST = None  # built lazily per tmp dir
 
 
-def _lm_files(tmp_path):
+_LM_DIR = None
+
+
+def _lm_files(tmp_path=None):
     """A small bigram LM with real backoff epsilon arcs (multi-state
-    live sets, K_arc > 1 closures) over the 5-char net alphabet."""
+    live sets, K_arc > 1 closures) over the 5-char net alphabet.
+
+    Written once to a module-stable directory so the packed-FST cache
+    (keyed on path) and the memoized recognizers below are shared
+    across tests."""
+    global _LM_DIR
+    import pathlib
+    import tempfile
+    if _LM_DIR is None:
+        _LM_DIR = pathlib.Path(tempfile.mkdtemp(prefix="lvsr_lm_"))
+    tmp_path = _LM_DIR
     from attention_lvcsr_tpu.ops.fst import arpa_to_fst, write_fst_text
     arpa_text = """
 \\data\\
@@ -241,9 +271,10 @@ ngram 2=6
 \\end\\
 """.strip().splitlines()
     syms = {"a": 1, "b": 2, "c": 3, "d": 4, "E": 5}
-    fst = arpa_to_fst(arpa_text, syms)
     path = str(tmp_path / "bigram.fst.txt")
-    write_fst_text(fst, path)
+    if not os.path.exists(path):
+        fst = arpa_to_fst(arpa_text, syms)
+        write_fst_text(fst, path)
     with open(path + ".syms", "w") as f:
         for s, i in syms.items():
             f.write(f"{s} {i}\n")
@@ -251,17 +282,22 @@ ngram 2=6
 
 
 def _build_lm(use_pallas, lm_path, lm_overrides=None, beam=3, seed=7):
+    key = (use_pallas, lm_path, repr(sorted((lm_overrides or {}).items())),
+           beam, seed)
+    if key in _BUILD_CACHE:
+        return _BUILD_CACHE[key]
     lm = {"path": lm_path, "weight": 0.7, "no_transition_cost": 12.0}
     lm.update(lm_overrides or {})
     cfg = dict(NET_CONFIG, use_pallas=use_pallas, lm=lm,
                character_map={"a": 0, "b": 1, "c": 2, "d": 3, "E": 4})
     rec = SpeechRecognizer(cfg, init_config=INIT, seed=seed)
     rec.init_beam_search(beam)
+    _BUILD_CACHE[key] = rec
     return rec
 
 
-def _search_both_lm(tmp_path, lm_overrides=None, beam=3, **kwargs):
-    lm_path = _lm_files(tmp_path)
+def _search_both_lm(tmp_path=None, lm_overrides=None, beam=3, **kwargs):
+    lm_path = _lm_files()
     inputs, mask = _batch()
     out = {}
     for name, mode in [("xla", "never"), ("loop", "interpret")]:
