@@ -641,24 +641,49 @@ class SequenceGenerator(nn.Module):
                                        else 1))
         Ra = R // pieces
         post_b = post(jnp.zeros((1, Ra), dtype))[0]
-        # non-softmax normalizers use a biased energy projection
-        # (models/attention.py:186)
-        if att.energy_normalizer != "softmax":
-            e_b = att.energy(jnp.zeros((1, M), dtype))[0, 0]
-        else:
+        if not hasattr(att, "conv_filters"):
+            # content-only attention (TIMIT nips_baseline): no conv
+            # term, no window prior, unbiased energy — the kernel skips
+            # the conv matmul (n_filters=0) and the zero tables only
+            # keep the input layout uniform
             e_b = jnp.zeros((), dtype)
+            handler_t = jnp.zeros((1, M), dtype)
+            toep_t = jnp.zeros((length, length), jnp.float32)
+        else:
+            # non-softmax normalizers use a biased energy projection
+            # (models/attention.py:186)
+            if att.energy_normalizer != "softmax":
+                e_b = att.energy(jnp.zeros((1, M), dtype))[0, 0]
+            else:
+                e_b = jnp.zeros((), dtype)
+            # multi-filter conv attention (wsj_mean_maxout: 10
+            # filters): handler rows are the Dense (Fc -> M) weight,
+            # and the Toeplitz band is stacked filter-major along the
+            # lanes (L, Fc*L) so ONE matmul computes every filter's
+            # convolution
+            Fc = att.conv_num_filters
+            conv_f = att.conv_filters.astype(jnp.float32)
+            if Fc == 1:
+                handler_t = att.filter_handler(
+                    jnp.ones((1, 1), dtype))[0]
+                toep_t = toeplitz_band(conv_f, length)
+            else:
+                handler_t = att.filter_handler(jnp.eye(Fc, dtype=dtype))
+                toep_t = jnp.concatenate(
+                    [toeplitz_band(conv_f[f], length)
+                     for f in range(Fc)],
+                    axis=1)
         return {
             "state_trans": att.state_trans[state_name](
                 jnp.eye(S, dtype=dtype)),
-            "handler": att.filter_handler(jnp.ones((1, 1), dtype))[0],
+            "handler": handler_t,
             "v": att.energy(jnp.eye(M, dtype=dtype))[:, 0] - e_b,
             "energy_b": e_b.reshape(1, 1),
             "merge_k": merge(jnp.eye(D, dtype=dtype)),
             "merge_b": self.readout.merge_bias.astype(dtype),
             "post_k": post(jnp.eye(Ra, dtype=dtype)) - post_b[None, :],
             "post_b": post_b,
-            "toeplitz": toeplitz_band(
-                att.conv_filters.astype(jnp.float32), length),
+            "toeplitz": toep_t,
             "tri": jnp.triu(jnp.ones((length, length), jnp.float32)),
         }
 

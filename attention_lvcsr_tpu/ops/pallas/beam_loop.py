@@ -17,10 +17,14 @@ per-utterance grids serialize the many small VPU ops (the top-k rounds)
 utterances in the same vector op.  Per-utterance gathers become ONE
 block-diagonal one-hot matmul over the grouped rows.
 
-Scope: the flagship configuration (conv location attention with one
-filter, softmax energy normalizer, single-layer GRU decoder, embedding
-feedback, weighted-averages-only readout with one tanh post-merge layer,
-log-likelihood criterion, no decode constraint) — now INCLUDING
+Scope: the flagship configuration (conv location attention, softmax
+energy normalizer, single-layer GRU decoder, embedding feedback,
+weighted-averages readout with one tanh post-merge layer,
+log-likelihood criterion, no decode constraint) — plus the
+non-flagship variants of the shipped config families: multi-filter
+conv attention and content-only attention (``n_filters``), logistic /
+relu energy normalizers, states-for-readout, and maxout / relu /
+sigmoid / identity post-merge activations — and INCLUDING
 
 * **FST shallow fusion** (``lm=True``): the reference's north-star
   operating point decodes with a trigram LM
@@ -94,7 +98,7 @@ def _kernel(*refs,
             initial_begin, initial_end, min_speed, max_speed,
             l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
             norm_am, norm_lm, norm_tot, no_trans,
-            normalizer, states_readout, maxout):
+            normalizer, states_readout, maxout, post_act, n_filters):
     n_in = 23 + (1 if states_readout else 0) + (6 if lm else 0)
     (pre_ref, att_ref, mask_ref,
      toep_ref, tri_ref, st_ref, handler_ref, v_ref,
@@ -128,10 +132,10 @@ def _kernel(*refs,
     pre = pre_ref[:].astype(f32)              # (G, L, M)
     attended = att_ref[:].astype(f32)         # (G, L, D)
     att_mask = mask_ref[:, 0, :].astype(f32)  # (G, L)
-    toep = toep_ref[:].astype(f32)
+    toep = toep_ref[:].astype(f32)            # (L, n_filters*L)
     tri = tri_ref[:].astype(f32)
     st = st_ref[:].astype(f32)
-    handler = handler_ref[:].astype(f32)      # (1, M)
+    handler = handler_ref[:].astype(f32)      # (n_filters, M)
     v = v_ref[:].astype(f32)                  # (M, 1)
     merge_k = merge_ref[:].astype(f32)
     merge_b = mergeb_ref[:].astype(f32)
@@ -424,17 +428,27 @@ def _kernel(*refs,
         # The (G, K, Lt, M) match tensor is the kernel's dominant
         # intermediate; ``l_chunk`` bounds it for wide beams/long audio
         # (static chunking — concat over lane tiles).
-        conv = dot(w * gmask, toep)                     # (R, L)
+        # n_filters == 0: content-only attention, no conv term at all
+        conv = (dot(w * gmask, toep) if n_filters    # (R, n_filters*L)
+                else None)
         sp = dot(h, st)                                 # (R, M)
         parts = []
         step_l = l_chunk or L
         for l0 in range(0, L, step_l):
             lt = min(step_l, L - l0)
+            # filter_handler's Dense(Fc -> M) as a sum of rank-1 terms
+            # (one per filter) — identical reduction order to the XLA
+            # path's matmul over the filter axis
+            conv_term = 0.0
+            for f in range(n_filters):
+                c = conv[:, f * L + l0:f * L + l0 + lt]
+                conv_term = conv_term + (
+                    c.reshape(G, K, lt, 1)
+                    * handler[f].reshape(1, 1, 1, M))
             match = jnp.tanh(
                 pre[:, l0:l0 + lt].reshape(G, 1, lt, M)
                 + sp.reshape(G, K, 1, M)
-                + conv[:, l0:l0 + lt].reshape(G, K, lt, 1)
-                * handler.reshape(1, 1, 1, M))
+                + conv_term)
             parts.append(dot(match.reshape(R * lt, M), v).reshape(R, lt)
                          + e_bias)
         energies = (parts[0] if len(parts) == 1
@@ -494,6 +508,12 @@ def _kernel(*refs,
                 piece0 = val if piece0 is None else \
                     jnp.maximum(piece0, val)
             act = piece0
+        elif post_act in ("relu", "rectifier"):
+            act = jnp.maximum(merged, 0.0)
+        elif post_act in ("sigmoid", "logistic"):
+            act = jax.nn.sigmoid(merged)
+        elif post_act == "identity":
+            act = merged
         else:
             act = jnp.tanh(merged)
         logits = dot(act, post_k) + post_b              # (R, V)
@@ -689,7 +709,8 @@ def pick_l_chunk(beam, group, length, match_dim):
                      "prior", "before", "after", "initial_begin",
                      "initial_end", "min_speed", "max_speed", "group",
                      "lm_fusion", "normalizer", "states_readout",
-                     "maxout", "interpret"))
+                     "maxout", "post_act", "content_attention",
+                     "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
                      beam, max_len, eol, stop_on="patience",
                      ignore_first_eol=False, char_discount=0.0,
@@ -697,7 +718,8 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
                      after=0.0, initial_begin=0.0, initial_end=1e4,
                      min_speed=0.0, max_speed=0.0, group=16,
                      lm_fusion=None, normalizer="softmax",
-                     states_readout=False, maxout=0, interpret=False):
+                     states_readout=False, maxout=0, post_act="tanh",
+                     content_attention=False, interpret=False):
     """Run the full decode loop.  Returns (done_out (U,K,max_len) int32,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
@@ -714,6 +736,8 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     """
     U, L, M = pre.shape
     D = attended.shape[-1]
+    Fc = tables["toeplitz"].shape[-1] // L
+    n_filt = 0 if content_attention else Fc
     S = tables["wss"].shape[0]
     R = tables["merge_k"].shape[-1]
     Ra = tables["post_k"].shape[0]
@@ -755,7 +779,8 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         norm_am=bool(norm_am), norm_lm=bool(norm_lm),
         norm_tot=bool(norm_tot), no_trans=float(no_trans),
         normalizer=str(normalizer), states_readout=bool(states_readout),
-        maxout=int(maxout))
+        maxout=int(maxout), post_act=str(post_act),
+        n_filters=int(n_filt))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -768,10 +793,10 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         perg(L, M),             # pre
         perg(L, D),             # attended
         perg(1, L),             # att_mask
-        full(L, L),             # toeplitz
+        full(L, Fc * L),        # toeplitz (filter-major lane stack)
         full(L, L),             # tri
         full(S, M),             # state_trans
-        full(1, M),             # handler
+        full(Fc, M),            # handler
         full(M, 1),             # v
         full(D, R),             # merge kernel
         full(1, R),             # merge bias
@@ -791,7 +816,8 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     ]
     inputs = [pre, attended, att_mask.reshape(U_pad, 1, L),
               tables["toeplitz"], tables["tri"], tables["state_trans"],
-              tables["handler"].reshape(1, M), tables["v"].reshape(M, 1),
+              tables["handler"].reshape(Fc, M),
+              tables["v"].reshape(M, 1),
               tables["merge_k"], tables["merge_b"].reshape(1, R),
               tables["post_k"], tables["post_b"].reshape(1, V),
               tables["embed"], tables["fork_in_w"],

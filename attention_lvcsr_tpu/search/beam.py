@@ -273,7 +273,8 @@ class BeamSearch:
     def _loop_bytes(self, attended_len, match_dim, packed_lm):
         """(fixed, per-utterance, per-utterance-unchunkable) VMEM bytes."""
         K, L = self.beam_size, attended_len
-        fixed = 2 * L * L * 4
+        n_filters = int(getattr(self.net, "conv_num_filters", 1) or 1)
+        fixed = (1 + n_filters) * L * L * 4
         lm_per_utt = 0
         if packed_lm is not None:
             S_lm, V, K_arc = packed_lm.next_state.shape
@@ -338,17 +339,21 @@ class BeamSearch:
         crit = dict(net.criterion or {"name": "log_likelihood"})
         canon = lambda n: n.rsplit(".", 1)[-1] if isinstance(n, str) else n
         act = net.post_merge_activation or "tanh"
+        is_content = net.attention_type == "content"
         supported = (
-            net.attention_type == "content_and_conv"
-            and net.conv_num_filters == 1
-            and (net.energy_normalizer or "softmax") in (
-                "softmax", "logistic", "relu")
+            (is_content
+             or (net.attention_type == "content_and_conv"
+                 and (net.conv_num_filters or 1) <= 16
+                 and (net.energy_normalizer or "softmax") in (
+                     "softmax", "logistic", "relu")))
             and crit["name"] == "log_likelihood"
             and net.dec_stack == 1
             and canon(net.dec_transition) in ("gru", "GatedRecurrent")
             and net.post_merge_dims is not None
             and len(net.post_merge_dims) == 1
-            and (act == "tanh" or act.startswith("maxout")))
+            and (act in ("tanh", "relu", "rectifier", "sigmoid",
+                         "logistic", "identity")
+                 or act.startswith("maxout")))
         if not supported:
             return None
         if net.use_pallas == "interpret":
@@ -420,7 +425,10 @@ class BeamSearch:
                 self._tables_cache = (params_token, {}, params)
             self._tables_cache[1][tkey] = tables
         data = dict(data, tables=tables)
-        prior = dict(net.prior or {})
+        # content-only attention has no window prior: the expanding
+        # defaults give the full-window mask the XLA path uses
+        is_content = net.attention_type == "content"
+        prior = {} if is_content else dict(net.prior or {})
         lm_fusion = None
         packed_lm = self._lm_packed()
         if packed_lm is not None:
@@ -445,9 +453,10 @@ class BeamSearch:
             data["tables"], beam=self.beam_size,
             group=self._loop_group(L, int(tables["v"].shape[0])),
             max_len=max_len, lm_fusion=lm_fusion,
-            normalizer=net.energy_normalizer or "softmax",
+            normalizer=("softmax" if is_content
+                        else net.energy_normalizer or "softmax"),
             states_readout=bool(net.use_states_for_readout),
-            maxout=maxout,
+            maxout=maxout, post_act=act, content_attention=is_content,
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,
             prior=prior.get("type", "expanding"),

@@ -344,7 +344,15 @@ def test_lm_fusion_wide_beam_parity(tmp_path):
     {"use_states_for_readout": True,
      "post_merge_activation": "maxout:2",
      "energy_normalizer": "logistic"},
-], ids=["states-readout", "logistic", "relu", "maxout", "combined"])
+    {"post_merge_activation": "rectifier"},
+    {"post_merge_activation": "sigmoid"},
+    {"conv_num_filters": 3},
+    {"conv_num_filters": 10,
+     "post_merge_activation": "maxout:2"},
+    {"attention_type": "content"},
+], ids=["states-readout", "logistic", "relu", "maxout", "combined",
+        "post-rectifier", "post-sigmoid", "conv3",
+        "mean-maxout-shape", "content-attention"])
 def test_variant_kernel_parity(overrides):
     """Non-flagship readout/normalizer variants (the wsj_good /
     mean_maxout / jan-bhd families, TIMIT nips_smooth) run through the
