@@ -630,7 +630,6 @@ class SequenceGenerator(nn.Module):
         M = att.match_dim
         S = self.dim_dec
         D = att.attended_dim
-        state_name = self.state_names[0]
         merge = self.readout.merge["weighted_averages"]
         post = self.readout.post_merge[0]
         R = self.readout.merged_dim
@@ -674,8 +673,12 @@ class SequenceGenerator(nn.Module):
                      for f in range(Fc)],
                     axis=1)
         return {
-            "state_trans": att.state_trans[state_name](
-                jnp.eye(S, dtype=dtype)),
+            # row-stacked over the decoder stack: the attention's
+            # state_sum over all layers is ONE (R, stack*S) x
+            # (stack*S, M) matmul in the kernel
+            "state_trans": jnp.concatenate(
+                [att.state_trans[name](jnp.eye(S, dtype=dtype))
+                 for name in self.state_names], axis=0),
             "handler": handler_t,
             "v": att.energy(jnp.eye(M, dtype=dtype))[:, 0] - e_b,
             "energy_b": e_b.reshape(1, 1),
@@ -695,33 +698,60 @@ class SequenceGenerator(nn.Module):
         calls so the flax parameter tree stays identical to the XLA
         path."""
         t = self.fused_score_tables(length, dtype)
-        cell = self.cells[0]
         Vf = self.num_outputs + 1
         embed = self.feedback(jnp.arange(Vf)).astype(dtype)     # (Vf, F)
         F = embed.shape[-1]
         S = self.dim_dec
         D = self.attention.attended_dim
-        fin = self.forks[0]["inputs"]
-        fgate = self.forks[0]["gate_inputs"]
-        fin_b = fin(jnp.zeros((1, F), dtype))[0]
-        fgate_b = fgate(jnp.zeros((1, F), dtype))[0]
+        eyeF = jnp.eye(F, dtype=dtype)
+        eyeD = jnp.eye(D, dtype=dtype)
+        # per-layer decoder tables, LANE-stacked (layer-major) so the
+        # stack=1 layout is byte-identical to the single-layer one and
+        # the shared-input projections (feedback fork, wa distribute)
+        # stay single matmuls for any stack depth
+        fin_ws, fin_bs, fg_ws, fg_bs = [], [], [], []
+        din_ws, dg_ws, wsgs, wsss, h0s = [], [], [], [], []
+        for layer in range(self.dec_stack):
+            cell = self.cells[layer]
+            fin = self.forks[layer]["inputs"]
+            fgate = self.forks[layer]["gate_inputs"]
+            fin_b = fin(jnp.zeros((1, F), dtype))[0]
+            fgate_b = fgate(jnp.zeros((1, F), dtype))[0]
+            fin_ws.append(fin(eyeF) - fin_b[None, :])
+            fin_bs.append(fin_b)
+            fg_ws.append(fgate(eyeF) - fgate_b[None, :])
+            fg_bs.append(fgate_b)
+            din_ws.append(self.distributes[layer]["inputs"](eyeD))
+            dg_ws.append(self.distributes[layer]["gate_inputs"](eyeD))
+            wsgs.append(cell.state_to_gates.astype(dtype))
+            wsss.append(cell.state_to_state.astype(dtype))
+            h0s.append(cell.initial_state.astype(dtype))
+        cat = lambda xs, ax: (xs[0] if len(xs) == 1
+                              else jnp.concatenate(xs, axis=ax))
         t.update({
             "embed": embed,
-            "fork_in_w": fin(jnp.eye(F, dtype=dtype)) - fin_b[None, :],
-            "fork_in_b": fin_b,
-            "fork_gate_w": fgate(jnp.eye(F, dtype=dtype)) - fgate_b[None, :],
-            "fork_gate_b": fgate_b,
-            "dist_in_w": self.distributes[0]["inputs"](
-                jnp.eye(D, dtype=dtype)),
-            "dist_gate_w": self.distributes[0]["gate_inputs"](
-                jnp.eye(D, dtype=dtype)),
-            "wsg": cell.state_to_gates.astype(dtype),
-            "wss": cell.state_to_state.astype(dtype),
-            "h0": cell.initial_state.astype(dtype),
+            "fork_in_w": cat(fin_ws, 1),
+            "fork_in_b": cat(fin_bs, 0),
+            "fork_gate_w": cat(fg_ws, 1),
+            "fork_gate_b": cat(fg_bs, 0),
+            "dist_in_w": cat(din_ws, 1),
+            "dist_gate_w": cat(dg_ws, 1),
+            "wsg": cat(wsgs, 1),
+            "wss": cat(wsss, 1),
+            "h0": cat(h0s, 0),
         })
+        if self.dec_stack > 1:
+            eyeS = jnp.eye(S, dtype=dtype)
+            t["inter_in_w"] = jnp.concatenate(
+                [lay["inputs"](eyeS) for lay in self.interlayer], axis=1)
+            t["inter_gate_w"] = jnp.concatenate(
+                [lay["gate_inputs"](eyeS) for lay in self.interlayer],
+                axis=1)
         if self.use_states_for_readout:
-            t["merge_states_k"] = self.readout.merge["states"](
-                jnp.eye(S, dtype=dtype))
+            eyeS = jnp.eye(S, dtype=dtype)
+            t["merge_states_k"] = jnp.concatenate(
+                [self.readout.merge[name](eyeS)
+                 for name in self.state_names], axis=0)
         lm = self.language_model
         if lm is not None and not lm.is_csr:
             # dense packed-FST tables for in-kernel shallow fusion

@@ -98,8 +98,10 @@ def _kernel(*refs,
             initial_begin, initial_end, min_speed, max_speed,
             l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
             norm_am, norm_lm, norm_tot, no_trans,
-            normalizer, states_readout, maxout, post_act, n_filters):
-    n_in = 23 + (1 if states_readout else 0) + (6 if lm else 0)
+            normalizer, states_readout, maxout, post_act, n_filters,
+            dec_stack):
+    n_in = (23 + (2 if dec_stack > 1 else 0)
+            + (1 if states_readout else 0) + (6 if lm else 0))
     (pre_ref, att_ref, mask_ref,
      toep_ref, tri_ref, st_ref, handler_ref, v_ref,
      merge_ref, mergeb_ref, post_ref, postb_ref,
@@ -107,6 +109,9 @@ def _kernel(*refs,
      din_ref, dgate_ref, wsg_ref, wss_ref, h0_ref,
      eb_ref) = refs[:23]
     nxt = 23
+    if dec_stack > 1:
+        iin_ref, igate_ref = refs[nxt:nxt + 2]
+        nxt += 2
     if states_readout:
         ms_ref = refs[nxt]
         nxt += 1
@@ -125,7 +130,7 @@ def _kernel(*refs,
     R = G * K                                  # grouped hypothesis rows
     L = pre_ref.shape[1]
     M = st_ref.shape[-1]
-    S = h_sc.shape[-1]
+    S = h_sc.shape[-1] // dec_stack            # per-layer state dim
     V = post_ref.shape[-1]
     Lout = aout_sc.shape[-1]
 
@@ -151,8 +156,11 @@ def _kernel(*refs,
     fgateb = fgateb_ref[:].astype(f32)
     din = din_ref[:].astype(f32)
     dgate = dgate_ref[:].astype(f32)
-    wsg = wsg_ref[:].astype(f32)
-    wss = wss_ref[:].astype(f32)
+    wsg = wsg_ref[:].astype(f32)              # (S, stack*2S)
+    wss = wss_ref[:].astype(f32)              # (S, stack*S)
+    if dec_stack > 1:
+        inter_in = iin_ref[:].astype(f32)     # (S, (stack-1)*S)
+        inter_gate = igate_ref[:].astype(f32)
 
     pos_g = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1).astype(f32)
     pos_r = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1).astype(f32)
@@ -334,7 +342,8 @@ def _kernel(*refs,
     # ---- init ------------------------------------------------------------
     rows_dead = (jnp.sum(att_mask, axis=1, keepdims=True) == 0.0)  # (G,1)
     dead_r = per_group(rows_dead.astype(f32)) > 0.5                # (R,1)
-    h_sc[:] = jnp.broadcast_to(h0_ref[:].astype(f32), (R, S))
+    h_sc[:] = jnp.broadcast_to(h0_ref[:].astype(f32),
+                               (R, S * dec_stack))
     w_sc[:] = (pos_r == 0.0).astype(f32)
     aout_sc[:] = jnp.zeros((R, Lout), f32)
     dout_sc[:] = jnp.zeros((R, Lout), f32)
@@ -594,18 +603,35 @@ def _kernel(*refs,
         alive_len = jnp.asarray(i + 1, f32)
         step_costs = chosen - prev_costs
 
-        # ---- GRU advance ---------------------------------------------
+        # ---- GRU advance (stacked layers advance sequentially:
+        # layer i>0 adds interlayer projections of the layer below's
+        # UPDATED state — generator._compute_states) -------------------
         fb_onehot = (jax.lax.broadcasted_iota(
             jnp.int32, (R, embed.shape[0]), 1).astype(f32)
             == symbols).astype(f32)
         fb = dot(fb_onehot, embed)                      # (R, F)
         gate_in = dot(fb, fgate) + fgateb + dot(wa_src, dgate)
         in_tot = dot(fb, fin) + finb + dot(wa_src, din)
-        gates = jax.nn.sigmoid(dot(h_src, wsg) + gate_in)
-        update = gates[:, :S]
-        reset = gates[:, S:]
-        cand = jnp.tanh(dot(h_src * reset, wss) + in_tot)
-        h_new = update * cand + (1.0 - update) * h_src
+        h_parts = []
+        below = None
+        for ly in range(dec_stack):            # NOT i — that's the step
+            h_i = h_src[:, ly * S:(ly + 1) * S]
+            gi = gate_in[:, ly * 2 * S:(ly + 1) * 2 * S]
+            ii = in_tot[:, ly * S:(ly + 1) * S]
+            if ly > 0:
+                gi = gi + dot(
+                    below, inter_gate[:, (ly - 1) * 2 * S:ly * 2 * S])
+                ii = ii + dot(below, inter_in[:, (ly - 1) * S:ly * S])
+            gates = jax.nn.sigmoid(
+                dot(h_i, wsg[:, ly * 2 * S:(ly + 1) * 2 * S]) + gi)
+            update = gates[:, :S]
+            reset = gates[:, S:]
+            cand = jnp.tanh(
+                dot(h_i * reset, wss[:, ly * S:(ly + 1) * S]) + ii)
+            h_parts.append(update * cand + (1.0 - update) * h_i)
+            below = h_parts[-1]
+        h_new = (h_parts[0] if dec_stack == 1
+                 else jnp.concatenate(h_parts, axis=1))
 
         # ---- LM advance ----------------------------------------------
         if lm:
@@ -710,7 +736,7 @@ def pick_l_chunk(beam, group, length, match_dim):
                      "initial_end", "min_speed", "max_speed", "group",
                      "lm_fusion", "normalizer", "states_readout",
                      "maxout", "post_act", "content_attention",
-                     "interpret"))
+                     "dec_stack", "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
                      beam, max_len, eol, stop_on="patience",
                      ignore_first_eol=False, char_discount=0.0,
@@ -719,7 +745,8 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
                      min_speed=0.0, max_speed=0.0, group=16,
                      lm_fusion=None, normalizer="softmax",
                      states_readout=False, maxout=0, post_act="tanh",
-                     content_attention=False, interpret=False):
+                     content_attention=False, dec_stack=1,
+                     interpret=False):
     """Run the full decode loop.  Returns (done_out (U,K,max_len) int32,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
@@ -739,6 +766,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     Fc = tables["toeplitz"].shape[-1] // L
     n_filt = 0 if content_attention else Fc
     S = tables["wss"].shape[0]
+    NS = int(dec_stack) * S                    # stacked state width
     R = tables["merge_k"].shape[-1]
     Ra = tables["post_k"].shape[0]
     V = tables["post_k"].shape[-1]
@@ -780,7 +808,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         norm_tot=bool(norm_tot), no_trans=float(no_trans),
         normalizer=str(normalizer), states_readout=bool(states_readout),
         maxout=int(maxout), post_act=str(post_act),
-        n_filters=int(n_filt))
+        n_filters=int(n_filt), dec_stack=int(dec_stack))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -795,7 +823,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         perg(1, L),             # att_mask
         full(L, Fc * L),        # toeplitz (filter-major lane stack)
         full(L, L),             # tri
-        full(S, M),             # state_trans
+        full(NS, M),            # state_trans (row-stacked over layers)
         full(Fc, M),            # handler
         full(M, 1),             # v
         full(D, R),             # merge kernel
@@ -803,15 +831,15 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         full(Ra, V),            # post kernel (maxout shrinks R -> Ra)
         full(1, V),             # post bias
         full(Vf, F),            # feedback embedding
-        full(F, S),             # fork inputs W
-        full(1, S),             # fork inputs b
-        full(F, 2 * S),         # fork gates W
-        full(1, 2 * S),         # fork gates b
-        full(D, S),             # distribute inputs W
-        full(D, 2 * S),         # distribute gates W
-        full(S, 2 * S),         # GRU state_to_gates
-        full(S, S),             # GRU state_to_state
-        full(1, S),             # GRU initial state
+        full(F, NS),            # fork inputs W (lane-stacked layers)
+        full(1, NS),            # fork inputs b
+        full(F, 2 * NS),        # fork gates W
+        full(1, 2 * NS),        # fork gates b
+        full(D, NS),            # distribute inputs W
+        full(D, 2 * NS),        # distribute gates W
+        full(S, 2 * NS),        # GRU state_to_gates (lane-stacked)
+        full(S, NS),            # GRU state_to_state (lane-stacked)
+        full(1, NS),            # GRU initial state
         full(1, 1),             # energy bias (non-softmax normalizers)
     ]
     inputs = [pre, attended, att_mask.reshape(U_pad, 1, L),
@@ -821,17 +849,22 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
               tables["merge_k"], tables["merge_b"].reshape(1, R),
               tables["post_k"], tables["post_b"].reshape(1, V),
               tables["embed"], tables["fork_in_w"],
-              tables["fork_in_b"].reshape(1, S), tables["fork_gate_w"],
-              tables["fork_gate_b"].reshape(1, 2 * S),
+              tables["fork_in_b"].reshape(1, NS),
+              tables["fork_gate_w"],
+              tables["fork_gate_b"].reshape(1, 2 * NS),
               tables["dist_in_w"], tables["dist_gate_w"],
               tables["wsg"], tables["wss"],
-              tables["h0"].reshape(1, S),
+              tables["h0"].reshape(1, NS),
               tables["energy_b"].reshape(1, 1).astype(jnp.float32)]
+    if dec_stack > 1:
+        in_specs += [full(S, (dec_stack - 1) * S),
+                     full(S, (dec_stack - 1) * 2 * S)]
+        inputs += [tables["inter_in_w"], tables["inter_gate_w"]]
     if states_readout:
-        in_specs.append(full(S, R))
+        in_specs.append(full(NS, R))
         inputs.append(tables["merge_states_k"])
     scratch_shapes = [
-        pltpu.VMEM((G * K, S), f32),          # h
+        pltpu.VMEM((G * K, NS), f32),         # h (all stack layers)
         pltpu.VMEM((G * K, L), f32),          # weights
         pltpu.VMEM((G * K, Lout), f32),       # alive_out
         pltpu.VMEM((G * K, 1), f32),          # alive_costs

@@ -347,7 +347,7 @@ class BeamSearch:
                  and (net.energy_normalizer or "softmax") in (
                      "softmax", "logistic", "relu")))
             and crit["name"] == "log_likelihood"
-            and net.dec_stack == 1
+            and (net.dec_stack or 1) <= 4
             and canon(net.dec_transition) in ("gru", "GatedRecurrent")
             and net.post_merge_dims is not None
             and len(net.post_merge_dims) == 1
@@ -457,6 +457,7 @@ class BeamSearch:
                         else net.energy_normalizer or "softmax"),
             states_readout=bool(net.use_states_for_readout),
             maxout=maxout, post_act=act, content_attention=is_content,
+            dec_stack=int(net.dec_stack or 1),
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,
             prior=prior.get("type", "expanding"),

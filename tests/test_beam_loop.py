@@ -350,9 +350,12 @@ def test_lm_fusion_wide_beam_parity(tmp_path):
     {"conv_num_filters": 10,
      "post_merge_activation": "maxout:2"},
     {"attention_type": "content"},
+    {"dec_stack": 2},
+    {"dec_stack": 2, "use_states_for_readout": True},
 ], ids=["states-readout", "logistic", "relu", "maxout", "combined",
         "post-rectifier", "post-sigmoid", "conv3",
-        "mean-maxout-shape", "content-attention"])
+        "mean-maxout-shape", "content-attention", "stack2",
+        "stack2-states"])
 def test_variant_kernel_parity(overrides):
     """Non-flagship readout/normalizer variants (the wsj_good /
     mean_maxout / jan-bhd families, TIMIT nips_smooth) run through the
