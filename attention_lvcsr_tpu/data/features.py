@@ -168,8 +168,9 @@ def device_frontend(wav_batch, num_frames=None, sample_rate: int = 16000,
     T = 1 + (wav_batch.shape[1] - frame_length) // hop
     use_kernel = interpret or (HAS_PLTPU
                                and jax.default_backend() == "tpu")
-    if use_kernel and \
-            frontend_vmem_bytes(T, num_bins, use_energy) < 64 * 2 ** 20:
+    if use_kernel and frontend_vmem_bytes(
+            T, num_bins, use_energy,
+            sample_rate=sample_rate) < 64 * 2 ** 20:
         return fbank_deltas_pallas(
             wav_batch, num_frames=num_frames, sample_rate=sample_rate,
             num_bins=num_bins, use_energy=use_energy,

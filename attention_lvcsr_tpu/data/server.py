@@ -122,7 +122,18 @@ def start_server(stream_factory: Callable[[], Iterator], port: int = 0,
     if not recv_end.poll(60):
         proc.terminate()
         raise RuntimeError("data server child did not report its port")
-    actual_port = recv_end.recv()
+    try:
+        actual_port = recv_end.recv()
+    except EOFError:
+        # poll() also returns True on pipe EOF: the spawned child died
+        # before reporting (e.g. the pickled stream factory failed to
+        # deserialize in the fresh interpreter) — diagnose, don't leak
+        # a bare EOFError
+        proc.join(5)
+        raise RuntimeError(
+            f"data server child exited before reporting its port "
+            f"(exitcode={proc.exitcode}); check that the stream "
+            f"factory's closure imports cleanly in a spawned child")
     recv_end.close()
     return proc, actual_port
 

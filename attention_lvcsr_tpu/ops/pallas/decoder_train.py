@@ -186,9 +186,9 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
 
 
 def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
-                hprev_ref, wprev_ref, waprev_ref,
+                hprev_ref, wprev_ref,
                 h_ref, w_ref, wa_ref, u_ref, r_ref, c_ref,
-                m_ref, s0_ref, fxz_ref,
+                m_ref, s0_ref,
                 pre_ref, att_ref, amask_ref,
                 toep_ref, tri_ref, st_ref, hand_ref, v_ref, wss_ref,
                 wsg_ref, dx_ref, dg_ref,
@@ -446,8 +446,6 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
     dwas = cot(dwas, (T_pad, B, D))
     hprev = jnp.concatenate([h0[None].astype(jnp.float32), hs[:-1]], 0)
     wprev = jnp.concatenate([w0[None].astype(jnp.float32), ws[:-1]], 0)
-    waprev = jnp.concatenate([wa0[None].astype(jnp.float32), was[:-1]],
-                             0)
 
     tri = jnp.triu(jnp.ones((L, L), jnp.float32))
     kernel = functools.partial(_bwd_kernel, cfg=cfg, chunk=C, steps=Tc)
@@ -464,12 +462,11 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
         grid=(Tc,),
         in_specs=[
             rev(B, S), rev(B, L), rev(B, D),           # cotangents
-            rev(B, S), rev(B, L), rev(B, D),           # prev h/w/wa
+            rev(B, S), rev(B, L),                      # prev h/w
             rev(B, S), rev(B, L), rev(B, D),           # h/w/wa
             rev(B, S), rev(B, S), rev(B, S),           # u r cand
             pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
             pl.BlockSpec((C, 1, 1), lambda t: (Tc - 1 - t, 0, 0)),
-            rev(B, S),                                 # fx (unused math)
             const(B, L, M), const(B, L, D), const(B, L),
             const(L, L),                               # toep
             const(L, L),                               # tri
@@ -506,10 +503,10 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
-    )(dhs, dws, dwas, hprev, wprev, waprev, hs, ws, was, us, rs, cs,
+    )(dhs, dws, dwas, hprev, wprev, hs, ws, was, us, rs, cs,
       mask_p.reshape(T_pad, 1, B),
       step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
-      _pad_time(fx, T_pad), pre, attended, amask, toep, tri, st,
+      pre, attended, amask, toep, tri, st,
       hand.reshape(1, M), v.reshape(1, M), wss, wsg, dxm, dgm)
     (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, dwss,
      dwsg, ddx, ddg) = outs

@@ -158,12 +158,22 @@ def _kernel(n_ref, rows_ref, ac_ref, as_ref, fb_ref, out_ref, *,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def frontend_vmem_bytes(T, num_bins=40, use_energy=True):
-    """Rough VMEM budget for one grid step (guard for the dispatcher)."""
-    nb = 384
+def frontend_vmem_bytes(T, num_bins=40, use_energy=True,
+                        sample_rate=16000, frame_ms=25.0, hop_ms=10.0):
+    """Rough VMEM budget for one grid step (guard for the dispatcher).
+
+    Derived from the SAME geometry the kernel builds (``_matrices``):
+    hop-sized row views, (frame+pad, NB) DFT matrices with NB the
+    128-padded frequency count — so the guard stays correct for
+    non-16 kHz audio."""
+    frame_length = int(sample_rate * frame_ms / 1000)
+    hop = int(sample_rate * hop_ms / 1000)
+    in_rows = frame_length + (-frame_length) % hop + hop
+    fft_size = 1 << (frame_length - 1).bit_length()
+    nb = -(-(fft_size // 2 + 1) // 128) * 128       # padded n_freqs
     d0 = num_bins + (1 if use_energy else 0)
-    per_row = 4 * (160 + 2 * 640 + 3 * nb + 8 * d0 + 128)
-    weights = 4 * (2 * 640 * nb + nb * num_bins)
+    per_row = 4 * (hop + 2 * in_rows + 3 * nb + 8 * d0 + 128)
+    weights = 4 * (2 * in_rows * nb + nb * num_bins)
     return T * per_row + weights
 
 

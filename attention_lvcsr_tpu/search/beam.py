@@ -268,6 +268,15 @@ class BeamSearch:
             return None
         if (1 + 2 * K_arc) * S_lm * V * 4 > self.LM_TABLE_BUDGET:
             return None
+        # the kernel's exp-domain tables are exp(-(total_weight - tau)):
+        # a weight spread past f32's exp range (~88 nats) would silently
+        # underflow reachable-but-expensive transitions to "unreachable"
+        # (charged no_transition_cost, possibly CHEAPER than truth) —
+        # such graphs must use the XLA path's direct log-domain lookups
+        tw = np.asarray(packed.total_weight)
+        finite = tw[tw < 1e29]
+        if finite.size and float(finite.max() - finite.min()) > 80.0:
+            return None
         return packed
 
     def _loop_bytes(self, attended_len, match_dim, packed_lm):
@@ -278,9 +287,15 @@ class BeamSearch:
         lm_per_utt = 0
         if packed_lm is not None:
             S_lm, V, K_arc = packed_lm.next_state.shape
+            M_lm = packed_lm.max_states
             fixed += (1 + 2 * K_arc) * S_lm * V * 4
-            # the (R*M, S_lm) one-hot + (R, M, V) gather intermediates
-            lm_per_utt = K * packed_lm.max_states * (S_lm + 3 * V) * 4
+            # lm_advance's real working set per beam row: the (M, S_lm)
+            # one-hot, FOUR (M, K_arc*V) gather/mask tensors
+            # (g_ns, g_nw, sym_mask, kv_iota), and THREE
+            # (M*K_arc, M*K_arc) dedup tensors (same/nw3/products)
+            n_cand = M_lm * K_arc
+            lm_per_utt = K * 4 * (
+                M_lm * (S_lm + 4 * K_arc * V) + 3 * n_cand * n_cand)
         # ~8 (R, L) alignment-sized tensors + the K x K permutations
         per_utt_base = K * L * 4 * 8 + K * K * 4 * 3 + lm_per_utt
         per_utt = per_utt_base + K * L * match_dim * 4
