@@ -395,3 +395,38 @@ def test_l_chunked_energies_parity(monkeypatch):
         out[name] = rec.beam_search(inputs, mask, as_arrays=True,
                                     char_discount=0.1)
     _assert_parity(out["xla"], out["loop"])
+
+
+def test_wide_weight_spread_lm_uses_xla_path(tmp_path):
+    """A packed LM whose finite total-weight spread exceeds f32's exp
+    range must NOT opt into the kernel's exp-domain fusion (silent
+    underflow would charge no_transition_cost for reachable-but-
+    expensive transitions) — it routes to the XLA log-domain path and
+    still decodes."""
+    from attention_lvcsr_tpu.ops.fst import arpa_to_fst, write_fst_text
+    arpa_text = """
+\\data\\
+ngram 1=7
+
+\\1-grams:
+-99  <s>
+-1.2  </s>
+-0.2  a
+-0.3  b
+-0.4  c
+-40.0  d
+-0.5  E
+\\end\\
+""".strip().splitlines()
+    syms = {"a": 1, "b": 2, "c": 3, "d": 4, "E": 5}
+    path = str(tmp_path / "wide.fst.txt")
+    write_fst_text(arpa_to_fst(arpa_text, syms), path)
+    with open(path + ".syms", "w") as f:
+        for s, i in syms.items():
+            f.write(f"{s} {i}\n")
+    rec = _build_lm("interpret", path)
+    assert rec._beam_search._loop_kernel_mode() is None, \
+        "wide-spread LM must not enter the exp-domain kernel"
+    inputs, mask = _batch()
+    out = rec.beam_search(inputs, mask, as_arrays=True, char_discount=0.1)
+    assert out["done_valid"].any()

@@ -104,3 +104,19 @@ def test_plot_server_serves_live_data():
     assert [v for _, v in series] == [3.0, 2.0, 1.0]
     assert fetched["missing_status"] == 404
     assert server._httpd is None  # shut down after training
+
+
+def test_server_child_crash_is_diagnosed():
+    """A stream factory whose blob fails to DESERIALIZE in the spawned
+    child (it dies before reporting its port -> pipe EOF) must surface
+    a diagnostic RuntimeError, not a bare EOFError."""
+
+    def _boom():
+        raise RuntimeError("boom at unpickle")
+
+    class ExplodesOnLoad:
+        def __reduce__(self):
+            return (_boom, ())
+
+    with pytest.raises(RuntimeError, match="exited before reporting"):
+        start_server(ExplodesOnLoad(), epochs=1)
