@@ -376,6 +376,10 @@ def bench_train(compute_dtype=None, batch=TRAIN_BATCH):
         out["step_tflops"] = round(flops / 1e12, 2)
         out["achieved_tflop_s"] = round(achieved / 1e12, 2)
         out["mfu_vs_197tflops_bf16"] = round(achieved / PEAK_FLOPS, 4)
+        # the sustained (pipelined) rate is what the MainLoop achieves;
+        # the per-call median above includes one dispatch round-trip
+        out["mfu_pipelined"] = round(
+            flops / pipelined_wall / PEAK_FLOPS, 4)
     return out
 
 
