@@ -296,8 +296,10 @@ class BeamSearch:
             n_cand = M_lm * K_arc
             lm_per_utt = K * 4 * (
                 M_lm * (S_lm + 4 * K_arc * V) + 3 * n_cand * n_cand)
-        # ~8 (R, L) alignment-sized tensors + the K x K permutations
-        per_utt_base = K * L * 4 * 8 + K * K * 4 * 3 + lm_per_utt
+        # ~8 (R, L) alignment-sized tensors + the per-row (R, Fc*L)
+        # convolution stack + the K x K permutations
+        per_utt_base = (K * L * 4 * (8 + n_filters)
+                        + K * K * 4 * 3 + lm_per_utt)
         per_utt = per_utt_base + K * L * match_dim * 4
         return fixed, per_utt, per_utt_base
 
