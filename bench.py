@@ -501,12 +501,14 @@ def main():
 
     best = done("decode_best", bench_decode(
         "best", use_pallas="auto", compute_dtype=None))
-    xla = done("decode_xla_fallback", bench_decode(
+    done("decode_best_bf16", bench_decode(
+        "best-bf16", use_pallas="auto", compute_dtype="bfloat16"))
+    done("decode_xla_fallback", bench_decode(
         "xla-fallback", use_pallas="never",
         compute_dtype=None, no_loop_kernel=True))
-    frontend = done("frontend", bench_frontend())
+    done("frontend", bench_frontend())
     train = done("train_step", bench_train())
-    train_bf16 = done("train_step_bf16", bench_train("bfloat16"))
+    done("train_step_bf16", bench_train("bfloat16"))
     # batch-scaling curve + per-phase breakdown: the MFU story
     # (VERDICT r2: is the small-RNN step latency- or compute-bound?)
     train_curve = {"32": {k: train[k] for k in
@@ -519,20 +521,22 @@ def main():
                                ("pipelined_utt_per_s", "wall_s_median",
                                 "mfu_vs_197tflops_bf16") if k in r}
     done("train_batch_curve", train_curve)
-    breakdown = done("train_breakdown", bench_train_breakdown())
+    done("train_breakdown", bench_train_breakdown())
     # the north-star operating point: decode WITH the trigram LM
     # (BASELINE.json defines utt/s at WER parity at this config;
     # exp/wsj/decode.sh sweeps beams 10..200).  These rows involve the
     # largest Mosaic compiles of the suite, so they run LAST (a compile
     # blowup must not cost the rows above) and honor LVSR_BENCH_NO_LM.
     if os.environ.get("LVSR_BENCH_NO_LM"):
-        lm10 = lm200 = lm_csr = {"skipped": "LVSR_BENCH_NO_LM"}
+        for key in ("decode_lm_beam10", "decode_lm_beam200",
+                    "decode_lm_beam10_csr"):
+            done(key, {"skipped": "LVSR_BENCH_NO_LM"})
     else:
-        lm10 = done("decode_lm_beam10", bench_decode_lm("beam10", beam=10))
-        lm200 = done("decode_lm_beam200",
-                     bench_decode_lm("beam200", beam=200, repeats=3))
-        lm_csr = done("decode_lm_beam10_csr",
-                      bench_decode_lm("beam10-csr", beam=10, csr=True))
+        done("decode_lm_beam10", bench_decode_lm("beam10", beam=10))
+        done("decode_lm_beam200",
+             bench_decode_lm("beam200", beam=200, repeats=3))
+        done("decode_lm_beam10_csr",
+             bench_decode_lm("beam10-csr", beam=10, csr=True))
 
     print(json.dumps({
         "metric": ("wsj-shaped utterances/sec/chip, encode + beam-10 "
@@ -541,16 +545,7 @@ def main():
         "unit": "utt/s",
         "vs_baseline": round(best["realtime_factor"] / 100.0, 3),
         "detail": {
-            "decode_best": best,
-            "decode_xla_fallback": xla,
-            "decode_lm_beam10": lm10,
-            "decode_lm_beam200": lm200,
-            "decode_lm_beam10_csr": lm_csr,
-            "frontend": frontend,
-            "train_step": train,
-            "train_batch_curve": train_curve,
-            "train_breakdown": breakdown,
-            "train_step_bf16": train_bf16,
+            **detail,
             "batch": BATCH, "frames": FRAMES, "beam": BEAM,
             "platform": jax.devices()[0].platform,
             "device_kind": jax.devices()[0].device_kind,
