@@ -485,3 +485,29 @@ def test_shipped_config_library_routing():
             assert routed[name] == "interpret", \
                 f"{name} fell off the loop kernel: {routed[name]}"
     assert sum(1 for v in routed.values() if v == "interpret") >= 15
+
+
+def test_loop_kernel_bf16_close_to_f32():
+    """compute_dtype=bfloat16 through the LOOP KERNEL (bf16 contexts +
+    tables in HBM, f32 in-register math): runs, and the top hypothesis
+    matches the f32 kernel decode with close costs."""
+    inputs, mask = _batch()
+    rec = _build("interpret", fresh=True)
+    rec.init_beam_search(3, compute_dtype=None)
+    out32 = rec.beam_search(inputs, mask, as_arrays=True,
+                            char_discount=0.1)
+    rec.init_beam_search(3, compute_dtype="bfloat16")
+    assert rec._beam_search._loop_kernel_mode() == "interpret"
+    out16 = rec.beam_search(inputs, mask, as_arrays=True,
+                            char_discount=0.1)
+    for u in range(2):
+        order32 = np.argsort(out32["done_adjusted"][u])
+        order16 = np.argsort(out16["done_adjusted"][u])
+        b32, b16 = order32[0], order16[0]
+        assert out32["done_valid"][u, b32] and out16["done_valid"][u, b16]
+        n = out32["done_len"][u, b32]
+        assert out16["done_len"][u, b16] == n
+        np.testing.assert_array_equal(out16["done_out"][u, b16, :n],
+                                      out32["done_out"][u, b32, :n])
+        assert abs(out16["done_cost"][u, b16]
+                   - out32["done_cost"][u, b32]) < 0.15
