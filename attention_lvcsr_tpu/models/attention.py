@@ -80,6 +80,9 @@ class SequenceContentAttention(BaseAttention):
     state_names: Sequence[str]
     attended_dim: int
     match_dim: int
+    # consumed by the fused decode/train kernel routing (the content
+    # math itself has no Pallas-specific path of its own)
+    use_pallas: str = "auto"
 
     glimpse_names = ("weighted_averages", "weights")
 
@@ -365,7 +368,7 @@ def make_attention(attention_type: str, state_names, attended_dim, match_dim,
     if attention_type == "content":
         return SequenceContentAttention(
             state_names=tuple(state_names), attended_dim=attended_dim,
-            match_dim=match_dim, name=name)
+            match_dim=match_dim, use_pallas=use_pallas, name=name)
     if attention_type == "content_and_conv":
         return SequenceContentAndConvAttention(
             state_names=tuple(state_names), attended_dim=attended_dim,

@@ -438,14 +438,19 @@ class SequenceGenerator(nn.Module):
 
         from attention_lvcsr_tpu.models.attention import \
             SequenceContentAndConvAttention
+        from attention_lvcsr_tpu.models.attention import \
+            SequenceContentAttention
         att = self.attention
+        is_conv = isinstance(att, SequenceContentAndConvAttention)
         supported = (
             self.dec_stack == 1
             and str(self.dec_transition).rsplit(".", 1)[-1].lower()
             in ("gru", "gatedrecurrent")
-            and isinstance(att, SequenceContentAndConvAttention)
-            and att.conv_num_filters == 1
-            and att.energy_normalizer == "softmax"
+            and (isinstance(att, SequenceContentAttention)
+                 or (is_conv
+                     and att.conv_num_filters <= 16
+                     and att.energy_normalizer in
+                     ("softmax", "logistic", "relu")))
             and self.language_model is None
             and not os.environ.get("LVSR_NO_TRAIN_DECODER"))
         if not supported:
@@ -476,9 +481,33 @@ class SequenceGenerator(nn.Module):
         st = att.state_trans[self.state_names[0]](
             jnp.eye(S, dtype=dtype))                       # (S, M)
         M = st.shape[1]
-        hand = att.filter_handler(jnp.ones((1, 1), dtype))[0]
-        v = att.energy(jnp.eye(M, dtype=dtype))[:, 0]
-        toep = toeplitz_band(att.conv_filters.astype(jnp.float32), L)
+        if not hasattr(att, "conv_filters"):
+            # content-only attention: no conv term, full window
+            n_filters = 0
+            normalizer = "softmax"
+            hand = jnp.zeros((1, M), dtype)
+            toep = jnp.zeros((L, L), jnp.float32)
+            e_b = jnp.zeros((1, 1), jnp.float32)
+            v = att.energy(jnp.eye(M, dtype=dtype))[:, 0]
+        else:
+            n_filters = att.conv_num_filters
+            normalizer = att.energy_normalizer
+            conv_f = att.conv_filters.astype(jnp.float32)
+            if n_filters == 1:
+                hand = att.filter_handler(jnp.ones((1, 1), dtype))[0]
+                toep = toeplitz_band(conv_f, L)
+            else:
+                hand = att.filter_handler(
+                    jnp.eye(n_filters, dtype=dtype))
+                toep = jnp.concatenate(
+                    [toeplitz_band(conv_f[f], L)
+                     for f in range(n_filters)], axis=1)
+            if normalizer != "softmax":
+                e_b = att.energy(
+                    jnp.zeros((1, M), dtype))[0, 0].reshape(1, 1)
+            else:
+                e_b = jnp.zeros((1, 1), jnp.float32)
+            v = att.energy(jnp.eye(M, dtype=dtype))[:, 0] - e_b[0, 0]
         dxm = self.distributes[0]["inputs"](jnp.eye(D, dtype=dtype))
         dgm = self.distributes[0]["gate_inputs"](jnp.eye(D, dtype=dtype))
         wss = cell.state_to_state
@@ -486,25 +515,36 @@ class SequenceGenerator(nn.Module):
 
         amask = (attended_mask if attended_mask is not None
                  else jnp.ones((B, L), dtype))
+        prior = (att._prior() if hasattr(att, "_prior")
+                 else {"type": "expanding", "initial_begin": 0,
+                       "initial_end": 10000, "min_speed": 0,
+                       "max_speed": 0})
         h_seq, w_seq, wa_seq, e_seq = decoder_scan_train(
             forked_seq[0]["inputs"], forked_seq[0]["gate_inputs"],
             mask, preprocessed, attended, amask,
             init_states[0]["states"], init_glimpses["weights"],
             init_glimpses["weighted_averages"],
             toep, st, hand, v, wss, wsg, dxm, dgm,
-            prior=att._prior(), interpret=interpret)
+            prior=prior, e_bias=e_b, normalizer=normalizer,
+            n_filters=n_filters, interpret=interpret)
         h0 = init_states[0]["states"].astype(h_seq.dtype)
         pre_states = [{"states": jnp.concatenate(
             [h0[None], h_seq[:-1]], axis=0)}]
         mask_arr = (mask if mask is not None
                     else jnp.ones((T, B), jnp.float32))
-        step_final = jnp.sum(mask_arr, axis=0).astype(jnp.int32)
-        glimpses_seq = {"weights": w_seq, "energies": e_seq,
+        glimpses_seq = {"weights": w_seq,
                         "weighted_averages": wa_seq}
         final_states = [{"states": h_seq[-1]}]
-        final_glimpses = {"weights": w_seq[-1], "energies": e_seq[-1],
-                          "weighted_averages": wa_seq[-1],
-                          "step": step_final}
+        final_glimpses = {"weights": w_seq[-1],
+                          "weighted_averages": wa_seq[-1]}
+        if n_filters:
+            # conv attention's glimpse set includes energies + step;
+            # content-only attention has neither (attention.py
+            # glimpse_names) and the structures must match the XLA scan
+            step_final = jnp.sum(mask_arr, axis=0).astype(jnp.int32)
+            glimpses_seq["energies"] = e_seq
+            final_glimpses["energies"] = e_seq[-1]
+            final_glimpses["step"] = step_final
         return pre_states, glimpses_seq, final_states, final_glimpses
 
     def _evaluate_scan(self, attended, preprocessed, attended_mask,

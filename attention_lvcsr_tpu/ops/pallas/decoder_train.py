@@ -27,8 +27,12 @@ Design notes (same playbook as :mod:`.gru_train` / :mod:`.decode_score`):
   differentiable band construction outside the kernel.
 
 Applicability is checked by the caller (``models/generator.py``):
-content+conv attention, one conv filter, softmax normalizer, one GRU
-decoder layer, no LM, no states-in-readout.  Reference semantics:
+content+conv attention (any filter count; the Toeplitz bands stack
+filter-major along lanes) or content-only attention (``n_filters=0``),
+softmax/logistic/relu energy normalizers (with the biased energy
+projection the non-softmax ones use), one GRU decoder layer, no LM.
+States-for-readout and any post-merge activation compose freely (the
+readout happens outside the scan).  Reference semantics:
 ``blocks/bricks/sequence_generators.py`` evaluate +
 ``lvsr/bricks/attention.py:75-168``.
 """
@@ -83,11 +87,18 @@ def _window_masks(w, step0, amask, pos, pos1, tri, *, prior, before,
     return gmask, gmask * additional * amask
 
 
-def _attention_fwd(h, w, pre, att, amask, toep, tri, st, hand, v, pos,
-                   pos1, step0, cfg):
-    """One attention step: returns (wnew, wa_new, energies, gmask)."""
+def _attention_fwd(h, w, pre, att, amask, toep, tri, st, hand, v, e_b,
+                   pos, pos1, step0, cfg):
+    """One attention step.  Returns
+    (wnew, wa_new, energies, gmask, combined, denom, conv, match).
+
+    ``cfg["n_filters"]``: conv filters (0 = content-only attention, no
+    conv term); ``cfg["normalizer"]``: softmax / logistic / relu, the
+    attention._normalize semantics; ``e_b``: energy projection bias
+    (non-softmax normalizers, zero otherwise)."""
     f32 = jnp.float32
     L = cfg["L"]
+    n_filters = cfg["n_filters"]
     gmask, combined = _window_masks(
         w, step0, amask, pos, pos1, tri, prior=cfg["prior"],
         before=cfg["before"], after=cfg["after"],
@@ -95,30 +106,44 @@ def _attention_fwd(h, w, pre, att, amask, toep, tri, st, hand, v, pos,
         initial_end=cfg["initial_end"], min_speed=cfg["min_speed"],
         max_speed=cfg["max_speed"], L=L)
     wg = w * gmask
-    conv = _dot(wg, toep)                                   # (B, L)
     sp = _dot(h, st)                                        # (B, M)
-    match = jnp.tanh(pre + sp[:, None, :]
-                     + conv[:, :, None] * hand[None, :, :])  # (B, L, M)
+    if n_filters:
+        conv = _dot(wg, toep)                     # (B, n_filters*L)
+        conv_term = 0.0
+        for f in range(n_filters):
+            conv_term = conv_term + (
+                conv[:, f * L:(f + 1) * L][:, :, None]
+                * hand[f][None, None, :])
+    else:
+        conv = None
+        conv_term = 0.0
+    match = jnp.tanh(pre + sp[:, None, :] + conv_term)      # (B, L, M)
     B, _, M = match.shape
     energies = _dot(match.reshape(B * L, M),
-                    v.reshape(M, 1)).reshape(B, L)
-    masked = jnp.where(gmask > 0, energies, NEG)
-    mx = jnp.max(masked, axis=1, keepdims=True)
-    mx = jnp.where(mx > NEG / 2, mx, 0.0)
-    unnorm = jnp.exp(energies - mx) * combined
+                    v.reshape(M, 1)).reshape(B, L) + e_b
+    normalizer = cfg["normalizer"]
+    if normalizer == "softmax":
+        masked = jnp.where(gmask > 0, energies, NEG)
+        mx = jnp.max(masked, axis=1, keepdims=True)
+        mx = jnp.where(mx > NEG / 2, mx, 0.0)
+        unnorm = jnp.exp(energies - mx) * combined
+    elif normalizer == "logistic":
+        unnorm = jax.nn.sigmoid(energies) * combined
+    else:  # relu
+        unnorm = jnp.maximum(energies / 1000.0, 0.0) * combined
     denom = unnorm.sum(axis=1, keepdims=True) + \
         (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
     wnew = unnorm / denom
     # batched (B,L)x(B,L,D) contraction as multiply-reduce (Mosaic has
     # no batched dot_general; L is small enough for the VPU)
     wa_new = (wnew[:, :, None] * att).sum(axis=1)           # (B, D)
-    return wnew, wa_new, energies, gmask, conv, match
+    return wnew, wa_new, energies, gmask, combined, denom, conv, match
 
 
 def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
                 amask_ref, h0_ref, w0_ref, wa0_ref, e0_ref,
-                toep_ref, tri_ref, st_ref, hand_ref, v_ref, wss_ref,
-                wsg_ref,
+                toep_ref, tri_ref, st_ref, hand_ref, v_ref, eb_ref,
+                wss_ref, wsg_ref,
                 dx_ref, dg_ref,
                 h_out, w_out, wa_out, e_out, u_out, r_out, c_out,
                 h_sc, w_sc, wa_sc, e_sc, *, cfg, chunk):
@@ -137,11 +162,12 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
     pre = pre_ref[...].astype(f32)                          # (B, L, M)
     att = att_ref[...].astype(f32)                          # (B, L, D)
     amask = amask_ref[...].astype(f32)                      # (B, L)
-    toep = toep_ref[...].astype(f32)
+    toep = toep_ref[...].astype(f32)          # (L, n_filters*L)
     tri = tri_ref[...].astype(f32)
     st = st_ref[...].astype(f32)
-    hand = hand_ref[...].astype(f32)                        # (1, M)
+    hand = hand_ref[...].astype(f32)          # (n_filters|1, M)
     v = v_ref[...].astype(f32)                              # (1, M)
+    e_b = eb_ref[0, 0].astype(f32)
     wss = wss_ref[...].astype(f32)
     wsg = wsg_ref[...].astype(f32)
     dxm = dx_ref[...].astype(f32)
@@ -156,9 +182,9 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
     e_keep = e_sc[...]
     for j in range(chunk):
         step0 = s0_ref[j, 0, 0].astype(f32)
-        wnew, wa_new, energies, gmask, _, _ = _attention_fwd(
-            h, w, pre, att, amask, toep, tri, st, hand, v, pos, pos1,
-            step0, cfg)
+        wnew, wa_new, energies, gmask, _, _, _, _ = _attention_fwd(
+            h, w, pre, att, amask, toep, tri, st, hand, v, e_b, pos,
+            pos1, step0, cfg)
         gacts = jax.nn.sigmoid(_dot(h, wsg) + fg_ref[j].astype(f32)
                                + _dot(wa_new, dgm))
         u = gacts[:, :S]
@@ -167,11 +193,15 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
                         + _dot(wa_new, dxm))
         h_new = u * cand + (1.0 - u) * h
 
-        m = m_ref[j, 0].astype(f32).reshape(-1, 1)          # (B, 1)
-        h = m * h_new + (1.0 - m) * h
-        w = m * wnew + (1.0 - m) * w
-        wa = m * wa_new + (1.0 - m) * wa
-        e_keep = m * (energies * gmask) + (1.0 - m) * e_keep
+        m = m_ref[j, 0].astype(f32).reshape(-1, 1) > 0.5    # (B, 1)
+        # where-mix, not arithmetic mix: a relu-normalizer row whose
+        # masked energies are all <= 0 divides 0/0 (the reference's own
+        # behavior) and 0 * NaN would leak the NaN into masked rows
+        # where the XLA scan keeps the old value
+        h = jnp.where(m, h_new, h)
+        w = jnp.where(m, wnew, w)
+        wa = jnp.where(m, wa_new, wa)
+        e_keep = jnp.where(m, energies * gmask, e_keep)
         h_out[j] = h.astype(h_out.dtype)
         w_out[j] = w.astype(w_out.dtype)
         wa_out[j] = wa.astype(wa_out.dtype)
@@ -190,11 +220,11 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
                 h_ref, w_ref, wa_ref, u_ref, r_ref, c_ref,
                 m_ref, s0_ref,
                 pre_ref, att_ref, amask_ref,
-                toep_ref, tri_ref, st_ref, hand_ref, v_ref, wss_ref,
-                wsg_ref, dx_ref, dg_ref,
+                toep_ref, tri_ref, st_ref, hand_ref, v_ref, eb_ref,
+                wss_ref, wsg_ref, dx_ref, dg_ref,
                 dfx_ref, dfg_ref, dh0_ref, dwa0_ref,
                 dpre_ref, datt_ref, dtoep_ref, dst_ref, dhand_ref,
-                dv_ref, dwss_ref, dwsg_ref, ddx_ref, ddg_ref,
+                dv_ref, deb_ref, dwss_ref, dwsg_ref, ddx_ref, ddg_ref,
                 dh_sc, dw_sc, dwa_sc, *, cfg, chunk, steps):
     f32 = jnp.float32
     S = cfg["S"]
@@ -212,6 +242,7 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
         dst_ref[...] = jnp.zeros_like(dst_ref)
         dhand_ref[...] = jnp.zeros_like(dhand_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
+        deb_ref[...] = jnp.zeros_like(deb_ref)
         dwss_ref[...] = jnp.zeros_like(dwss_ref)
         dwsg_ref[...] = jnp.zeros_like(dwsg_ref)
         ddx_ref[...] = jnp.zeros_like(ddx_ref)
@@ -225,6 +256,7 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
     st = st_ref[...].astype(f32)
     hand = hand_ref[...].astype(f32)
     v = v_ref[...].astype(f32)
+    e_b = eb_ref[0, 0].astype(f32)
     wss = wss_ref[...].astype(f32)
     wsg = wsg_ref[...].astype(f32)
     dxm = dx_ref[...].astype(f32)
@@ -239,6 +271,7 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
     dst_acc = jnp.zeros_like(dst_ref)
     dhand_acc = jnp.zeros_like(dhand_ref)
     dv_acc = jnp.zeros_like(dv_ref)
+    deb_acc = jnp.zeros_like(deb_ref)
     dwss_acc = jnp.zeros_like(dwss_ref)
     dwsg_acc = jnp.zeros_like(dwsg_ref)
     ddx_acc = jnp.zeros_like(ddx_ref)
@@ -293,14 +326,30 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
         dwnew = dwnew + (att * dwa_new[:, None, :]).sum(axis=2)
         datt_acc += wnew[:, :, None] * dwa_new[:, None, :]
 
-        # ---- softmax backward (masked rows carry zero cotangent) -----
-        srow = (dwnew * wnew).sum(axis=1, keepdims=True)
-        dE = wnew * (dwnew - srow)                           # (B, L)
+        # ---- recompute the attention step for the backward ----------
+        _, _, energies, gmask, combined, denom, conv, match = \
+            _attention_fwd(
+                h_prev, w_prev, pre, att, amask, toep, tri, st, hand,
+                v, e_b, pos, pos1, step0, cfg)
 
-        # ---- recompute the match tensor and run energies backward ----
-        _, _, _, gmask, conv, match = _attention_fwd(
-            h_prev, w_prev, pre, att, amask, toep, tri, st, hand, v,
-            pos, pos1, step0, cfg)
+        # ---- normalizer backward (masked rows carry zero cotangent) --
+        srow = (dwnew * wnew).sum(axis=1, keepdims=True)
+        if cfg["normalizer"] == "softmax":
+            # the max-shift cancels: dE = w * (dw - sum(dw * w))
+            dE = wnew * (dwnew - srow)                       # (B, L)
+        else:
+            # wnew = q / denom, q = g(E) * combined:
+            # dq = (dw - sum(dw * w)) / denom; dE = dq * g'(E) * combined
+            dq = (dwnew - srow) / denom
+            if cfg["normalizer"] == "logistic":
+                sig = jax.nn.sigmoid(energies)
+                gprime = sig * (1.0 - sig)
+            else:  # relu
+                gprime = (energies > 0.0).astype(f32) / 1000.0
+            dE = dq * gprime * combined
+        deb_acc += dE.sum().reshape(1, 1)
+
+        # ---- energies backward over the recomputed match tensor ------
         dmatch = (dE[:, :, None] * v[None, :, :]
                   * (1.0 - match * match))                   # (B, L, M)
         dpre_acc += dmatch
@@ -309,13 +358,28 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
         dsp = dmatch.sum(axis=1)                             # (B, M)
         dh_prev += _dot(dsp, st, contract=(1, 1))
         dst_acc += _dot(h_prev, dsp, contract=(0, 0))
-        dconv = (dmatch * hand[None, :, :]).sum(axis=2)      # (B, L)
-        dhand_acc += (dmatch * conv[:, :, None]).sum(
-            axis=(0, 1), keepdims=True)[0]
-        wg = w_prev * gmask
-        dwg = _dot(dconv, toep, contract=(1, 1))
-        dtoep_acc += _dot(wg, dconv, contract=(0, 0))
-        dw_prev = dwg * gmask + dw_keep
+        if cfg["n_filters"]:
+            # per-filter rank-1 splits of dmatch; the lane-stacked
+            # layouts make dwg/dtoep single matmuls over (B|L, Fc*L)
+            dconv_parts, dhand_rows = [], []
+            for f in range(cfg["n_filters"]):
+                dconv_parts.append(
+                    (dmatch * hand[f][None, None, :]).sum(axis=2))
+                dhand_rows.append(
+                    (dmatch
+                     * conv[:, f * L:(f + 1) * L][:, :, None]).sum(
+                        axis=(0, 1), keepdims=True)[0])
+            dconv = (dconv_parts[0] if cfg["n_filters"] == 1
+                     else jnp.concatenate(dconv_parts, axis=1))
+            dhand_acc += (dhand_rows[0] if cfg["n_filters"] == 1
+                          else jnp.concatenate(dhand_rows, axis=0))
+            wg = w_prev * gmask
+            dwg = _dot(dconv, toep, contract=(1, 1))
+            dtoep_acc += _dot(wg, dconv, contract=(0, 0))
+            dw_prev = dwg * gmask + dw_keep
+        else:
+            # content-only attention: weights do not feed the energies
+            dw_prev = dw_keep
 
         dh_c = dh_prev + dh_keep
         dw_c = dw_prev
@@ -327,6 +391,7 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
     dst_ref[...] += dst_acc
     dhand_ref[...] += dhand_acc
     dv_ref[...] += dv_acc
+    deb_ref[...] += deb_acc
     dwss_ref[...] += dwss_acc
     dwsg_ref[...] += dwsg_acc
     ddx_ref[...] += ddx_acc
@@ -347,22 +412,23 @@ def _cfg_key(cfg):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _decoder_scan(cfgk, interpret, fx, fg, mask, step0, pre, attended,
-                  amask, h0, w0, wa0, toep, st, hand, v, wss, wsg,
-                  dxm, dgm):
+                  amask, h0, w0, wa0, toep, st, hand, v, e_bias, wss,
+                  wsg, dxm, dgm):
     out, _ = _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0,
                                pre, attended, amask, h0, w0, wa0, toep,
-                               st, hand, v, wss, wsg, dxm, dgm)
+                               st, hand, v, e_bias, wss, wsg, dxm, dgm)
     return out
 
 
 def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
                       attended, amask, h0, w0, wa0, toep, st, hand, v,
-                      wss, wsg, dxm, dgm):
+                      e_bias, wss, wsg, dxm, dgm):
     cfg = dict(cfgk)
     T, B, S = fx.shape
     L = cfg["L"]
     M = st.shape[1]
     D = attended.shape[2]
+    Fh = hand.shape[0] if hand.ndim == 2 else 1
     C = min(CHUNK, T)
     T_pad = -(-T // C) * C
     fx_p = _pad_time(fx, T_pad)
@@ -392,9 +458,10 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
             const(B, L),                 # amask
             const(1, B, S), const(1, B, L), const(1, B, D),
             const(1, B, L),              # e0
-            const(L, L),                 # toep
+            const(L, Fh * L),            # toep (filter-major lanes)
             const(L, L),                 # tri
-            const(S, M), const(1, M), const(1, M),
+            const(S, M), const(Fh, M), const(1, M),
+            const(1, 1),                 # energy bias
             const(S, S), const(S, 2 * S),
             const(D, S), const(D, 2 * S),
         ],
@@ -414,11 +481,12 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
       step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
       pre, attended, amask,
       h0[None], w0[None], wa0[None], e0[None], toep, tri, st,
-      hand.reshape(1, M), v.reshape(1, M), wss, wsg, dxm, dgm)
+      hand.reshape(Fh, M), v.reshape(1, M),
+      e_bias.reshape(1, 1), wss, wsg, dxm, dgm)
     hs, ws, was, es, us, rs, cs = outs
     res = (fx, fg, mask_p, step0_p, pre, attended, amask, h0, w0, wa0,
-           toep, st, hand, v, wss, wsg, dxm, dgm, hs, ws, was, us, rs,
-           cs)
+           toep, st, hand, v, e_bias, wss, wsg, dxm, dgm, hs, ws, was,
+           us, rs, cs)
     out = (hs[:T], ws[:T], was[:T], es[:T])
     return out, res
 
@@ -426,7 +494,8 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
 def _decoder_scan_bwd(cfgk, interpret, res, cts):
     cfg = dict(cfgk)
     (fx, fg, mask_p, step0_p, pre, attended, amask, h0, w0, wa0, toep,
-     st, hand, v, wss, wsg, dxm, dgm, hs, ws, was, us, rs, cs) = res
+     st, hand, v, e_bias, wss, wsg, dxm, dgm, hs, ws, was, us, rs,
+     cs) = res
     dhs, dws, dwas, _des = cts
     T, B, S = fx.shape
     T_pad = hs.shape[0]
@@ -435,6 +504,7 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
     D = attended.shape[2]
     C = min(CHUNK, T)
     Tc = T_pad // C
+    Fh = hand.shape[0] if hand.ndim == 2 else 1
 
     def cot(x, shape):
         if x is None:
@@ -468,17 +538,19 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
             pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
             pl.BlockSpec((C, 1, 1), lambda t: (Tc - 1 - t, 0, 0)),
             const(B, L, M), const(B, L, D), const(B, L),
-            const(L, L),                               # toep
+            const(L, Fh * L),                          # toep
             const(L, L),                               # tri
-            const(S, M), const(1, M), const(1, M),
+            const(S, M), const(Fh, M), const(1, M),
+            const(1, 1),                               # energy bias
             const(S, S), const(S, 2 * S),
             const(D, S), const(D, 2 * S),
         ],
         out_specs=(rev(B, S), rev(B, 2 * S),
                    pl.BlockSpec((B, S), lambda t: (0, 0)),
                    pl.BlockSpec((B, D), lambda t: (0, 0)),
-                   const(B, L, M), const(B, L, D), const(L, L),
-                   const(S, M), const(1, M), const(1, M),
+                   const(B, L, M), const(B, L, D), const(L, Fh * L),
+                   const(S, M), const(Fh, M), const(1, M),
+                   const(1, 1),
                    const(S, S), const(S, 2 * S),
                    const(D, S), const(D, 2 * S)),
         out_shape=(
@@ -488,10 +560,11 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
             jax.ShapeDtypeStruct((B, D), f32),
             jax.ShapeDtypeStruct((B, L, M), f32),
             jax.ShapeDtypeStruct((B, L, D), f32),
-            jax.ShapeDtypeStruct((L, L), f32),
+            jax.ShapeDtypeStruct((L, Fh * L), f32),
             jax.ShapeDtypeStruct((S, M), f32),
+            jax.ShapeDtypeStruct((Fh, M), f32),
             jax.ShapeDtypeStruct((1, M), f32),
-            jax.ShapeDtypeStruct((1, M), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((S, S), f32),
             jax.ShapeDtypeStruct((S, 2 * S), f32),
             jax.ShapeDtypeStruct((D, S), f32),
@@ -507,9 +580,10 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
       mask_p.reshape(T_pad, 1, B),
       step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
       pre, attended, amask, toep, tri, st,
-      hand.reshape(1, M), v.reshape(1, M), wss, wsg, dxm, dgm)
-    (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, dwss,
-     dwsg, ddx, ddg) = outs
+      hand.reshape(Fh, M), v.reshape(1, M),
+      e_bias.reshape(1, 1), wss, wsg, dxm, dgm)
+    (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, deb,
+     dwss, dwsg, ddx, ddg) = outs
     z = jnp.zeros
     return (dfx[:T].astype(fx.dtype), dfg[:T].astype(fg.dtype),
             z((T, B), fx.dtype),          # mask
@@ -522,6 +596,7 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
             dtoep.astype(toep.dtype), dst.astype(st.dtype),
             dhand.reshape(hand.shape).astype(hand.dtype),
             dv.reshape(v.shape).astype(v.dtype),
+            deb.reshape(e_bias.shape).astype(e_bias.dtype),
             dwss.astype(wss.dtype), dwsg.astype(wsg.dtype),
             ddx.astype(dxm.dtype), ddg.astype(dgm.dtype))
 
@@ -531,20 +606,28 @@ _decoder_scan.defvjp(_decoder_scan_fwd, _decoder_scan_bwd)
 
 def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
                        wa0, toep, st, hand, v, wss, wsg, dxm, dgm, *,
-                       prior, interpret=False):
+                       prior, e_bias=None, normalizer="softmax",
+                       n_filters=1, interpret=False):
     """Differentiable fused attention-decoder scan.
 
     fx (T,B,S) / fg (T,B,2S): fork projections of the fed-back labels
     (bias included); mask (T,B) or None; pre (B,L,M) preprocessed
     attended; attended (B,L,D); att_mask (B,L); h0/w0/wa0 initial
-    state/alignment/weighted-average; toep (L,L) banded Toeplitz of the
-    conv taps; st/hand/v attention params; wss/wsg GRU matrices;
-    dxm/dgm distribute matrices.  Returns (h_seq, weights_seq, wa_seq,
-    energies_seq), each (T,B,·), mask-mixed like the XLA scan.
+    state/alignment/weighted-average; toep (L, max(n_filters,1)*L)
+    banded Toeplitz stack of the conv taps (filter-major lanes);
+    st attention state-trans; hand (max(n_filters,1), M) conv handler
+    rows; v energy vector; e_bias energy projection bias (non-softmax
+    normalizers; differentiable); wss/wsg GRU matrices; dxm/dgm
+    distribute matrices.  ``normalizer``: softmax/logistic/relu;
+    ``n_filters=0`` = content-only attention (no conv term, pass zero
+    toep/hand).  Returns (h_seq, weights_seq, wa_seq, energies_seq),
+    each (T,B,·), mask-mixed like the XLA scan.
     """
     T, B, S = fx.shape
     if mask is None:
         mask = jnp.ones((T, B), jnp.float32)
+    if e_bias is None:
+        e_bias = jnp.zeros((1, 1), jnp.float32)
     # the expanding prior consumes step[0]: the per-step scalar equals
     # the number of unmasked steps row 0 has seen (mask-mixed carry)
     step0 = jnp.concatenate(
@@ -560,12 +643,16 @@ def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
         initial_end=float(p.get("initial_end", 1e4)),
         min_speed=float(p.get("min_speed", 0.0)),
         max_speed=float(p.get("max_speed", 0.0)),
+        normalizer=str(normalizer), n_filters=int(n_filters),
     )
     f32 = jnp.float32
+    hand2 = hand.reshape(-1, hand.shape[-1]) if hand.ndim == 2 \
+        else hand.reshape(1, -1)
     return _decoder_scan(
         _cfg_key(cfg), bool(interpret), fx.astype(f32), fg.astype(f32),
         mask.astype(f32), step0, pre.astype(f32), attended.astype(f32),
         att_mask.astype(f32), h0.astype(f32), w0.astype(f32),
         wa0.astype(f32), toep.astype(f32), st.astype(f32),
-        hand.astype(f32), v.astype(f32), wss.astype(f32),
+        hand2.astype(f32), v.astype(f32),
+        jnp.asarray(e_bias, f32).reshape(1, 1), wss.astype(f32),
         wsg.astype(f32), dxm.astype(f32), dgm.astype(f32))
