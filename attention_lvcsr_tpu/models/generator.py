@@ -459,8 +459,12 @@ class SequenceGenerator(nn.Module):
             return "interpret"
         if att.use_pallas == "never":
             return None
-        # single-device only: pallas_call has no SPMD partitioning rule
-        if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        # single-device shapes only: pallas_call has no SPMD
+        # partitioning rule — but inside the shard_map-dp train step
+        # every shard IS single-device shaped (parallel/mesh.py)
+        from attention_lvcsr_tpu.parallel.mesh import in_shard_map
+        if jax.default_backend() == "tpu" and (
+                jax.device_count() == 1 or in_shard_map()):
             return "compile"
         return None
 

@@ -178,12 +178,16 @@ class RecognizerNet(nn.Module):
                     pallas = "compile"
             elif not os.environ.get("LVSR_NO_TRAIN_GRU"):
                 # differentiable fused scan (custom VJP) for training;
-                # single-device only — under SPMD the pallas_call has no
-                # partitioning rule, so sharded meshes keep the XLA scan
+                # single-device SHAPES only — under SPMD the pallas_call
+                # has no partitioning rule, so sharded meshes keep the
+                # XLA scan, EXCEPT inside the shard_map-dp train step
+                # where every shard is local-shaped (parallel/mesh.py)
+                from attention_lvcsr_tpu.parallel.mesh import \
+                    in_shard_map
                 if self.use_pallas == "interpret":
                     pallas = "train_interpret"
-                elif jax.default_backend() == "tpu" \
-                        and jax.device_count() == 1:
+                elif jax.default_backend() == "tpu" and (
+                        jax.device_count() == 1 or in_shard_map()):
                     pallas = "train"
         encoded, encoded_mask = self.encoder(bottom_out, inputs_mask,
                                              pallas=pallas)

@@ -21,11 +21,24 @@ pipeline-depth or MoE structure that would warrant PP/EP at this scale.
 """
 from __future__ import annotations
 
+import contextvars
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# set while tracing the per-shard body of the shard_map data-parallel
+# train step: inside it every array has single-device (local) shape, so
+# the Pallas-kernel gates that normally require device_count()==1 can
+# fire (each shard runs its own kernel; grads are pmean'd explicitly)
+_IN_SHARD_MAP = contextvars.ContextVar("lvsr_in_shard_map",
+                                       default=False)
+
+
+def in_shard_map() -> bool:
+    """True while tracing inside the shard_map-dp train step."""
+    return _IN_SHARD_MAP.get()
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
@@ -91,12 +104,51 @@ def shard_batch(batch_arrays, mesh: Mesh):
     return [jax.device_put(np.asarray(a), sharding) for a in batch_arrays]
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh):
+def make_parallel_train_step(step_fn, mesh: Mesh, shard_map_dp=False):
     """jit the train step for the mesh.
 
-    Parameters/opt-state keep whatever shardings they carry (params from
-    :func:`shard_params`); batch args are expected data-sharded.  XLA's
-    SPMD partitioner derives the collectives (gradient psum over 'data',
-    activation collectives over 'model').
+    Default mode: parameters/opt-state keep whatever shardings they
+    carry (params from :func:`shard_params`); batch args are expected
+    data-sharded.  XLA's SPMD partitioner derives the collectives
+    (gradient psum over 'data', activation collectives over 'model').
+    The Pallas training kernels have no SPMD partitioning rule, so this
+    mode runs the XLA scan paths.
+
+    ``shard_map_dp=True``: pure data parallelism through
+    ``jax.shard_map`` — each shard traces the step on LOCAL shapes
+    (replicated params, its batch slice), which keeps every fused
+    Pallas training kernel live per chip; ``step_fn`` must have been
+    built with ``pmean_axis='data'`` so gradients (and monitors) are
+    averaged over the axis before the optimizer update (identical
+    replicated updates on every shard).  Requires mesh.shape['model']
+    == 1 (tensor parallelism needs the SPMD partitioner).
     """
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    if not shard_map_dp:
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError(
+            "shard_map_dp is pure data parallelism; use the default "
+            "SPMD mode for model-parallel meshes")
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:                            # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    def local_step(params, opt_state, rng, *batch):
+        # per-shard rng so dropout / weight noise differ across shards
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        token = _IN_SHARD_MAP.set(True)
+        try:
+            return step_fn(params, opt_state, rng, *batch)
+        finally:
+            _IN_SHARD_MAP.reset(token)
+
+    def wrapped(params, opt_state, rng, *batch):
+        return _shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), P()) + (P("data"),) * len(batch),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, opt_state, rng, *batch)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1))

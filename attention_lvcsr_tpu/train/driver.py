@@ -108,8 +108,13 @@ def _attention_leaf(path) -> bool:
 
 
 def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
-                    eos_label: int, input_key: str):
-    """Build the jitted fwd+bwd+update+monitor function."""
+                    eos_label: int, input_key: str, pmean_axis=None):
+    """Build the jitted fwd+bwd+update+monitor function.
+
+    ``pmean_axis``: name of a mapped mesh axis (shard_map-dp mode,
+    parallel/mesh.py) — gradients and monitors are lax.pmean'd over it
+    before the optimizer update, so every shard applies the identical
+    (global-batch) update."""
     net = recognizer.net
     reg = config.get("regularization", {}) or {}
     train_conf = config.get("training", {}) or {}
@@ -233,6 +238,10 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
 
         (train_cost, monitors), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            monitors = jax.tree.map(
+                lambda v: jax.lax.pmean(v, pmean_axis), monitors)
         import optax
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)

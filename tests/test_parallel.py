@@ -97,3 +97,67 @@ def test_sharded_beam_search_matches_single_device():
                                   single["done_out"])
     np.testing.assert_allclose(sharded["done_cost"], single["done_cost"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_dp_step_matches_single_device():
+    """shard_map-dp mode (parallel/mesh.py): each shard traces the
+    train step on LOCAL shapes — the Pallas training kernels stay live
+    per shard (interpret mode here) — and the pmean'd gradients must
+    produce the same updated params as one device on the full batch."""
+    from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+    from attention_lvcsr_tpu.parallel import make_parallel_train_step
+    from attention_lvcsr_tpu.train.driver import make_train_step
+    from attention_lvcsr_tpu.train.rules import build_optimizer
+
+    cfg = dict(
+        input_dims={"recordings": 5}, input_num_chars={}, eos_label=4,
+        num_phonemes=5, dim_dec=8, dims_bidir=[6], enc_transition="gru",
+        dec_transition="gru", attention_type="content_and_conv",
+        conv_n=2, use_states_for_readout=False,
+        criterion={"name": "log_likelihood"},
+        bottom={"bottom_class": "speech"}, subsample=[1],
+        post_merge_dims=[10], max_decoded_length_scale=1.0,
+        prior={"type": "expanding", "initial_begin": 0,
+               "initial_end": 6, "min_speed": 1.0, "max_speed": 2.0},
+        use_pallas="interpret")
+    rec = SpeechRecognizer(cfg, init_config={
+        "/recognizer": {"weights_init": ["isotropic_gaussian", 0.1],
+                        "biases_init": ["constant", 0.0],
+                        "rec_weights_init": ["orthogonal"]}}, seed=3)
+    config = {"net": rec.net_config,
+              "training": {"rules": ["adadelta"]}, "regularization": {}}
+    optimizer = build_optimizer(config["training"], {})
+
+    rng = np.random.RandomState(0)
+    B, T, TL = 8, 12, 5
+    inputs = rng.randn(B, T, 5).astype("float32")
+    mask = np.ones((B, T), "float32")
+    labels = rng.randint(0, 5, size=(B, TL)).astype("int32")
+    lmask = np.ones((B, TL), "float32")
+    key = jax.random.PRNGKey(0)
+
+    # single device, full batch
+    step1 = make_train_step(rec, optimizer, config, eos_label=4,
+                            input_key="recordings")
+    p1, _, m1 = jax.jit(step1)(
+        rec.params, optimizer.init(rec.params), key,
+        jnp.asarray(inputs), jnp.asarray(mask), jnp.asarray(labels),
+        jnp.asarray(lmask))
+
+    # shard_map dp over 8 shards
+    mesh = make_mesh(8, model_parallel=1)
+    step8 = make_train_step(rec, optimizer, config, eos_label=4,
+                            input_key="recordings", pmean_axis="data")
+    par = make_parallel_train_step(step8, mesh, shard_map_dp=True)
+    with mesh:
+        batch = shard_batch([inputs, mask, labels, lmask], mesh)
+        p8, _, m8 = par(rec.params, optimizer.init(rec.params), key,
+                        *batch)
+
+    np.testing.assert_allclose(float(m8["train_cost"]),
+                               float(m1["train_cost"]), rtol=2e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
