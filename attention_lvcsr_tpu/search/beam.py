@@ -184,12 +184,16 @@ class BeamSearch:
                 "a host validate_solution_function cannot run under a "
                 "sharded mesh decode (host callbacks don't partition); "
                 "use a DecodeConstraint instead")
-        # the whole-loop kernel is a single-device program; sharded decode
-        # uses the XLA path, which the SPMD partitioner splits over 'data'
+        # the whole-loop kernel is a single-device program; a pure
+        # data-parallel mesh runs it PER SHARD through jax.shard_map
+        # (each shard sees local shapes), while model-parallel meshes
+        # use the XLA path, which the SPMD partitioner splits
         loop_mode = (self._loop_kernel_mode(
                          num_frames=np.shape(inputs)[1])
                      if constraint is None and post_filter is None
-                     and mesh is None else None)
+                     and (mesh is None
+                          or mesh.shape.get("model", 1) == 1)
+                     else None)
         if loop_mode is not None:
             out = self._search_loop_kernel(
                 params, jnp.asarray(inputs), jnp.asarray(inputs_mask),
@@ -198,7 +202,7 @@ class BeamSearch:
                 eol=int(eol_symbol), max_len=max(1, int(max_length)),
                 char_discount=float(char_discount),
                 round_to_inf=float(round_to_inf),
-                interpret=loop_mode == "interpret")
+                interpret=loop_mode == "interpret", mesh=mesh)
         else:
             key = (inputs.shape, stop_on, bool(ignore_first_eol),
                    constraint is not None, post_filter is not None)
@@ -383,7 +387,8 @@ class BeamSearch:
 
     def _search_loop_kernel(self, params, inputs, inputs_mask, *,
                             stop_on, ignore_first_eol, eol, max_len,
-                            char_discount, round_to_inf, interpret):
+                            char_discount, round_to_inf, interpret,
+                            mesh=None):
         """Whole-loop Pallas decode: encoder + ONE kernel.
 
         Runs as three jitted pieces so the params-only dense weight
@@ -465,7 +470,33 @@ class BeamSearch:
         maxout = 0
         if act.startswith("maxout"):
             maxout = int(act.split(":")[1]) if ":" in act else 2
-        done_out, done_meta, steps = beam_search_loop(
+        loop_fn = beam_search_loop
+        if mesh is not None:
+            # data-parallel serving decode: every shard runs the WHOLE
+            # kernel on its local batch slice (tables replicated);
+            # results are bit-identical to single-device per utterance
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:                    # pragma: no cover
+                from jax.experimental.shard_map import \
+                    shard_map as _shard_map
+            dp = mesh.shape["data"]
+            if data["pre"].shape[0] % dp:
+                raise ValueError(
+                    f"batch {data['pre'].shape[0]} must divide the "
+                    f"'data' axis ({dp}) for the sharded loop decode")
+
+            def loop_fn(pre, attended, amask, tables, **kw):
+                return _shard_map(
+                    functools.partial(beam_search_loop, **kw),
+                    mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P()),
+                    out_specs=(P("data"), P("data"), P("data")),
+                    check_vma=False,
+                )(pre, attended, amask, tables)
+
+        done_out, done_meta, steps = loop_fn(
             data["pre"], data["attended"], data["attended_mask"],
             data["tables"], beam=self.beam_size,
             group=self._loop_group(L, int(tables["v"].shape[0])),

@@ -161,3 +161,44 @@ def test_shard_map_dp_step_matches_single_device():
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_loop_kernel_decode_matches_single_device():
+    """On a pure data-parallel mesh the WHOLE-LOOP Pallas decode kernel
+    runs per shard through jax.shard_map (serving-scale decode at
+    kernel speed) — hypotheses identical to the single-device kernel."""
+    from attention_lvcsr_tpu.models.recognizer import SpeechRecognizer
+
+    cfg = dict(
+        input_dims={"recordings": 6}, input_num_chars={}, eos_label=4,
+        num_phonemes=5, dim_dec=8, dims_bidir=[7], enc_transition="gru",
+        dec_transition="gru", attention_type="content_and_conv",
+        conv_n=1, use_states_for_readout=False,
+        criterion={"name": "log_likelihood"},
+        bottom={"bottom_class": "speech"}, subsample=[1],
+        post_merge_dims=[10], max_decoded_length_scale=1.0,
+        data_prepend_eos=False, use_pallas="interpret")
+    rec = SpeechRecognizer(cfg, init_config={
+        "/recognizer": {"weights_init": ["isotropic_gaussian", 0.5],
+                        "biases_init": ["constant", 0.0],
+                        "rec_weights_init": ["orthogonal"]}}, seed=7)
+    p = rec.params["params"]["generator"]["readout"]["post_merge_0"]
+    p["bias"] = p["bias"].at[4].add(1.5)
+    rec.init_beam_search(3)
+    assert rec._beam_search._loop_kernel_mode() == "interpret"
+
+    rng = np.random.RandomState(3)
+    inputs = rng.randn(8, 16, 6).astype("float32")
+    mask = (np.arange(16)[None] <
+            rng.randint(10, 17, size=(8, 1))).astype("f")
+
+    single = rec.beam_search(inputs, mask, as_arrays=True)
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = rec.beam_search(inputs, mask, as_arrays=True, mesh=mesh)
+
+    np.testing.assert_array_equal(sharded["done_valid"],
+                                  single["done_valid"])
+    np.testing.assert_array_equal(sharded["done_out"],
+                                  single["done_out"])
+    np.testing.assert_allclose(sharded["done_cost"], single["done_cost"],
+                               rtol=1e-5, atol=1e-6)
