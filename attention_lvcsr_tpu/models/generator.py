@@ -443,7 +443,7 @@ class SequenceGenerator(nn.Module):
         att = self.attention
         is_conv = isinstance(att, SequenceContentAndConvAttention)
         supported = (
-            self.dec_stack == 1
+            self.dec_stack <= 4
             and str(self.dec_transition).rsplit(".", 1)[-1].lower()
             in ("gru", "gatedrecurrent")
             and (isinstance(att, SequenceContentAttention)
@@ -476,14 +476,15 @@ class SequenceGenerator(nn.Module):
         from attention_lvcsr_tpu.ops.pallas.decoder_train import \
             decoder_scan_train
         att = self.attention
-        cell = self.cells[0]
         L = attended.shape[1]
         D = attended.shape[2]
         S = self.dim_dec
+        N = self.dec_stack
         dtype = attended.dtype
 
-        st = att.state_trans[self.state_names[0]](
-            jnp.eye(S, dtype=dtype))                       # (S, M)
+        st = jnp.concatenate(
+            [att.state_trans[name](jnp.eye(S, dtype=dtype))
+             for name in self.state_names], axis=0)   # (N*S, M)
         M = st.shape[1]
         if not hasattr(att, "conv_filters"):
             # content-only attention: no conv term, full window
@@ -512,10 +513,24 @@ class SequenceGenerator(nn.Module):
             else:
                 e_b = jnp.zeros((1, 1), jnp.float32)
             v = att.energy(jnp.eye(M, dtype=dtype))[:, 0] - e_b[0, 0]
-        dxm = self.distributes[0]["inputs"](jnp.eye(D, dtype=dtype))
-        dgm = self.distributes[0]["gate_inputs"](jnp.eye(D, dtype=dtype))
-        wss = cell.state_to_state
-        wsg = cell.state_to_gates
+        eyeD = jnp.eye(D, dtype=dtype)
+        cat = lambda xs, ax=1: (xs[0] if len(xs) == 1
+                                else jnp.concatenate(xs, axis=ax))
+        dxm = cat([self.distributes[ly]["inputs"](eyeD)
+                   for ly in range(N)])
+        dgm = cat([self.distributes[ly]["gate_inputs"](eyeD)
+                   for ly in range(N)])
+        wss = cat([self.cells[ly].state_to_state for ly in range(N)])
+        wsg = cat([self.cells[ly].state_to_gates for ly in range(N)])
+        inter_in = inter_gate = None
+        if N > 1:
+            eyeS = jnp.eye(S, dtype=dtype)
+            inter_in = jnp.concatenate(
+                [lay["inputs"](eyeS) for lay in self.interlayer],
+                axis=1)
+            inter_gate = jnp.concatenate(
+                [lay["gate_inputs"](eyeS) for lay in self.interlayer],
+                axis=1)
 
         amask = (attended_mask if attended_mask is not None
                  else jnp.ones((B, L), dtype))
@@ -523,22 +538,33 @@ class SequenceGenerator(nn.Module):
                  else {"type": "expanding", "initial_begin": 0,
                        "initial_end": 10000, "min_speed": 0,
                        "max_speed": 0})
+        fx_all = cat([forked_seq[ly]["inputs"] for ly in range(N)],
+                     ax=2)
+        fg_all = cat([forked_seq[ly]["gate_inputs"] for ly in range(N)],
+                     ax=2)
+        h0_all = cat([init_states[ly]["states"] for ly in range(N)])
         h_seq, w_seq, wa_seq, e_seq = decoder_scan_train(
-            forked_seq[0]["inputs"], forked_seq[0]["gate_inputs"],
+            fx_all, fg_all,
             mask, preprocessed, attended, amask,
-            init_states[0]["states"], init_glimpses["weights"],
+            h0_all, init_glimpses["weights"],
             init_glimpses["weighted_averages"],
             toep, st, hand, v, wss, wsg, dxm, dgm,
             prior=prior, e_bias=e_b, normalizer=normalizer,
-            n_filters=n_filters, interpret=interpret)
-        h0 = init_states[0]["states"].astype(h_seq.dtype)
-        pre_states = [{"states": jnp.concatenate(
-            [h0[None], h_seq[:-1]], axis=0)}]
+            n_filters=n_filters, dec_stack=N, inter_in=inter_in,
+            inter_gate=inter_gate, interpret=interpret)
+        pre_states = []
+        for ly in range(N):
+            h0_ly = init_states[ly]["states"].astype(h_seq.dtype)
+            h_ly = h_seq[:, :, ly * S:(ly + 1) * S]
+            pre_states.append({"states": jnp.concatenate(
+                [h0_ly[None], h_ly[:-1]], axis=0)})
         mask_arr = (mask if mask is not None
                     else jnp.ones((T, B), jnp.float32))
         glimpses_seq = {"weights": w_seq,
                         "weighted_averages": wa_seq}
-        final_states = [{"states": h_seq[-1]}]
+        final_states = [
+            {"states": h_seq[-1, :, ly * S:(ly + 1) * S]}
+            for ly in range(N)]
         final_glimpses = {"weights": w_seq[-1],
                           "weighted_averages": wa_seq[-1]}
         if n_filters:

@@ -30,7 +30,10 @@ Applicability is checked by the caller (``models/generator.py``):
 content+conv attention (any filter count; the Toeplitz bands stack
 filter-major along lanes) or content-only attention (``n_filters=0``),
 softmax/logistic/relu energy normalizers (with the biased energy
-projection the non-softmax ones use), one GRU decoder layer, no LM.
+projection the non-softmax ones use), stacked GRU decoders (lane-
+stacked per-layer tables; layer i > 0 adds interlayer projections of
+the layer below's unmasked updated state, recomputed from residuals in
+the backward), no LM.
 States-for-readout and any post-merge activation compose freely (the
 readout happens outside the scan).  Reference semantics:
 ``blocks/bricks/sequence_generators.py`` evaluate +
@@ -140,13 +143,18 @@ def _attention_fwd(h, w, pre, att, amask, toep, tri, st, hand, v, e_b,
     return wnew, wa_new, energies, gmask, combined, denom, conv, match
 
 
-def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
-                amask_ref, h0_ref, w0_ref, wa0_ref, e0_ref,
-                toep_ref, tri_ref, st_ref, hand_ref, v_ref, eb_ref,
-                wss_ref, wsg_ref,
-                dx_ref, dg_ref,
-                h_out, w_out, wa_out, e_out, u_out, r_out, c_out,
-                h_sc, w_sc, wa_sc, e_sc, *, cfg, chunk):
+def _fwd_kernel(*refs, cfg, chunk):
+    (fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
+     amask_ref, h0_ref, w0_ref, wa0_ref, e0_ref,
+     toep_ref, tri_ref, st_ref, hand_ref, v_ref, eb_ref,
+     wss_ref, wsg_ref, dx_ref, dg_ref) = refs[:21]
+    nxt = 21
+    if cfg["dec_stack"] > 1:
+        iin_ref, igate_ref = refs[nxt:nxt + 2]
+        nxt += 2
+    (h_out, w_out, wa_out, e_out, u_out, r_out, c_out) = \
+        refs[nxt:nxt + 7]
+    (h_sc, w_sc, wa_sc, e_sc) = refs[nxt + 7:nxt + 11]
     f32 = jnp.float32
     S = cfg["S"]
     L = cfg["L"]
@@ -168,10 +176,13 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
     hand = hand_ref[...].astype(f32)          # (n_filters|1, M)
     v = v_ref[...].astype(f32)                              # (1, M)
     e_b = eb_ref[0, 0].astype(f32)
-    wss = wss_ref[...].astype(f32)
-    wsg = wsg_ref[...].astype(f32)
-    dxm = dx_ref[...].astype(f32)
-    dgm = dg_ref[...].astype(f32)
+    wss = wss_ref[...].astype(f32)            # (S, stack*S)
+    wsg = wsg_ref[...].astype(f32)            # (S, stack*2S)
+    dxm = dx_ref[...].astype(f32)             # (D, stack*S)
+    dgm = dg_ref[...].astype(f32)             # (D, stack*2S)
+    if cfg["dec_stack"] > 1:
+        iin = iin_ref[...].astype(f32)        # (S, (stack-1)*S)
+        igate = igate_ref[...].astype(f32)
     B = h_sc.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(f32)
     pos1 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1).astype(f32)
@@ -185,13 +196,44 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
         wnew, wa_new, energies, gmask, _, _, _, _ = _attention_fwd(
             h, w, pre, att, amask, toep, tri, st, hand, v, e_b, pos,
             pos1, step0, cfg)
-        gacts = jax.nn.sigmoid(_dot(h, wsg) + fg_ref[j].astype(f32)
-                               + _dot(wa_new, dgm))
-        u = gacts[:, :S]
-        r = gacts[:, S:]
-        cand = jnp.tanh(_dot(h * r, wss) + fx_ref[j].astype(f32)
-                        + _dot(wa_new, dxm))
-        h_new = u * cand + (1.0 - u) * h
+        # stacked GRU advance: layer ly > 0 adds interlayer projections
+        # of the layer below's (unmasked) updated state — the exact
+        # generator._compute_states order.  All per-layer tables are
+        # lane-stacked; stack=1 reduces to the single-layer math.
+        N = cfg["dec_stack"]
+        fg_j = fg_ref[j].astype(f32)
+        fx_j = fx_ref[j].astype(f32)
+        h_parts, u_parts, r_parts, c_parts = [], [], [], []
+        below = None
+        for ly in range(N):
+            h_ly = h[:, ly * S:(ly + 1) * S]
+            g_in = (fg_j[:, ly * 2 * S:(ly + 1) * 2 * S]
+                    + _dot(wa_new, dgm[:, ly * 2 * S:(ly + 1) * 2 * S]))
+            x_in = (fx_j[:, ly * S:(ly + 1) * S]
+                    + _dot(wa_new, dxm[:, ly * S:(ly + 1) * S]))
+            if ly > 0:
+                g_in = g_in + _dot(
+                    below, igate[:, (ly - 1) * 2 * S:ly * 2 * S])
+                x_in = x_in + _dot(
+                    below, iin[:, (ly - 1) * S:ly * S])
+            gacts = jax.nn.sigmoid(
+                _dot(h_ly, wsg[:, ly * 2 * S:(ly + 1) * 2 * S]) + g_in)
+            u_ly = gacts[:, :S]
+            r_ly = gacts[:, S:]
+            cand_ly = jnp.tanh(
+                _dot(h_ly * r_ly, wss[:, ly * S:(ly + 1) * S]) + x_in)
+            h_new_ly = u_ly * cand_ly + (1.0 - u_ly) * h_ly
+            below = h_new_ly
+            h_parts.append(h_new_ly)
+            u_parts.append(u_ly)
+            r_parts.append(r_ly)
+            c_parts.append(cand_ly)
+        catl = lambda xs: (xs[0] if N == 1
+                           else jnp.concatenate(xs, axis=1))
+        h_new = catl(h_parts)
+        u = catl(u_parts)
+        r = catl(r_parts)
+        cand = catl(c_parts)
 
         m = m_ref[j, 0].astype(f32).reshape(-1, 1) > 0.5    # (B, 1)
         # where-mix, not arithmetic mix: a relu-normalizer row whose
@@ -215,20 +257,32 @@ def _fwd_kernel(fx_ref, fg_ref, m_ref, s0_ref, pre_ref, att_ref,
     e_sc[...] = e_keep
 
 
-def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
-                hprev_ref, wprev_ref,
-                h_ref, w_ref, wa_ref, u_ref, r_ref, c_ref,
-                m_ref, s0_ref,
-                pre_ref, att_ref, amask_ref,
-                toep_ref, tri_ref, st_ref, hand_ref, v_ref, eb_ref,
-                wss_ref, wsg_ref, dx_ref, dg_ref,
-                dfx_ref, dfg_ref, dh0_ref, dwa0_ref,
-                dpre_ref, datt_ref, dtoep_ref, dst_ref, dhand_ref,
-                dv_ref, deb_ref, dwss_ref, dwsg_ref, ddx_ref, ddg_ref,
-                dh_sc, dw_sc, dwa_sc, *, cfg, chunk, steps):
+def _bwd_kernel(*refs, cfg, chunk, steps):
+    (dh_ref, dw_ref, dwa_ref,
+     hprev_ref, wprev_ref,
+     h_ref, w_ref, wa_ref, u_ref, r_ref, c_ref,
+     m_ref, s0_ref,
+     pre_ref, att_ref, amask_ref,
+     toep_ref, tri_ref, st_ref, hand_ref, v_ref, eb_ref,
+     wss_ref, wsg_ref, dx_ref, dg_ref) = refs[:26]
+    nxt = 26
+    stacked = cfg["dec_stack"] > 1
+    if stacked:
+        iin_ref, igate_ref = refs[nxt:nxt + 2]
+        nxt += 2
+    (dfx_ref, dfg_ref, dh0_ref, dwa0_ref,
+     dpre_ref, datt_ref, dtoep_ref, dst_ref, dhand_ref,
+     dv_ref, deb_ref, dwss_ref, dwsg_ref, ddx_ref, ddg_ref) = \
+        refs[nxt:nxt + 15]
+    nxt += 15
+    if stacked:
+        diin_ref, digate_ref = refs[nxt:nxt + 2]
+        nxt += 2
+    (dh_sc, dw_sc, dwa_sc) = refs[nxt:nxt + 3]
     f32 = jnp.float32
     S = cfg["S"]
     L = cfg["L"]
+    N = cfg["dec_stack"]
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -247,6 +301,9 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
         dwsg_ref[...] = jnp.zeros_like(dwsg_ref)
         ddx_ref[...] = jnp.zeros_like(ddx_ref)
         ddg_ref[...] = jnp.zeros_like(ddg_ref)
+        if stacked:
+            diin_ref[...] = jnp.zeros_like(diin_ref)
+            digate_ref[...] = jnp.zeros_like(digate_ref)
 
     pre = pre_ref[...].astype(f32)
     att = att_ref[...].astype(f32)
@@ -261,6 +318,9 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
     wsg = wsg_ref[...].astype(f32)
     dxm = dx_ref[...].astype(f32)
     dgm = dg_ref[...].astype(f32)
+    if stacked:
+        iin = iin_ref[...].astype(f32)
+        igate = igate_ref[...].astype(f32)
     B = dh_sc.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(f32)
     pos1 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1).astype(f32)
@@ -276,6 +336,9 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
     dwsg_acc = jnp.zeros_like(dwsg_ref)
     ddx_acc = jnp.zeros_like(ddx_ref)
     ddg_acc = jnp.zeros_like(ddg_ref)
+    if stacked:
+        diin_acc = jnp.zeros_like(diin_ref)
+        digate_acc = jnp.zeros_like(digate_ref)
 
     dh_c = dh_sc[...]
     dw_c = dw_sc[...]
@@ -302,25 +365,81 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
         dwa_new = dwa_tot * m
         dwa_keep = dwa_tot * (1.0 - m)
 
-        # ---- GRU backward --------------------------------------------
-        du = dh_new * (cand - h_prev)
-        dcand = dh_new * u
-        dh_prev = dh_new * (1.0 - u)
-        dcandacts = dcand * (1.0 - cand * cand)
-        d_hr = _dot(dcandacts, wss, contract=(1, 1))
-        dwss_acc += _dot(h_prev * r, dcandacts, contract=(0, 0))
-        dh_prev += d_hr * r
-        dr = d_hr * h_prev
-        dgacts = jnp.concatenate(
-            [du * u * (1.0 - u), dr * r * (1.0 - r)], axis=1)
-        dh_prev += _dot(dgacts, wsg, contract=(1, 1))
-        dwsg_acc += _dot(h_prev, dgacts, contract=(0, 0))
-        dfx_ref[j] = dcandacts.astype(dfx_ref.dtype)
-        dfg_ref[j] = dgacts.astype(dfg_ref.dtype)
-        dwa_new += _dot(dcandacts, dxm, contract=(1, 1)) \
-            + _dot(dgacts, dgm, contract=(1, 1))
-        ddx_acc += _dot(wa_new, dcandacts, contract=(0, 0))
-        ddg_acc += _dot(wa_new, dgacts, contract=(0, 0))
+        # ---- GRU backward (stack: layers in REVERSE, dbelow flows
+        # into the unmasked h_new of the layer below; that h_new is
+        # recomputed from the residuals, not streamed) -----------------
+        dfx_parts = [None] * N
+        dfg_parts = [None] * N
+        diin_parts = [None] * max(N - 1, 0)
+        digate_parts = [None] * max(N - 1, 0)
+        dwss_parts = [None] * N
+        dwsg_parts = [None] * N
+        ddx_parts = [None] * N
+        ddg_parts = [None] * N
+        dh_prev_parts = [None] * N
+        dbelow = None
+        for ly in reversed(range(N)):
+            sl1 = slice(ly * S, (ly + 1) * S)
+            sl2 = slice(ly * 2 * S, (ly + 1) * 2 * S)
+            u_ly = u[:, sl1]
+            r_ly = r[:, sl1]
+            cand_ly = cand[:, sl1]
+            h_prev_ly = h_prev[:, sl1]
+            dh_new_ly = dh_new[:, sl1]
+            if dbelow is not None:
+                dh_new_ly = dh_new_ly + dbelow
+            du = dh_new_ly * (cand_ly - h_prev_ly)
+            dcand = dh_new_ly * u_ly
+            dh_prev_ly = dh_new_ly * (1.0 - u_ly)
+            dcandacts = dcand * (1.0 - cand_ly * cand_ly)
+            d_hr = _dot(dcandacts, wss[:, sl1], contract=(1, 1))
+            dwss_parts[ly] = _dot(h_prev_ly * r_ly, dcandacts,
+                                  contract=(0, 0))
+            dh_prev_ly += d_hr * r_ly
+            dr = d_hr * h_prev_ly
+            dgacts = jnp.concatenate(
+                [du * u_ly * (1.0 - u_ly), dr * r_ly * (1.0 - r_ly)],
+                axis=1)
+            dh_prev_ly += _dot(dgacts, wsg[:, sl2], contract=(1, 1))
+            dwsg_parts[ly] = _dot(h_prev_ly, dgacts, contract=(0, 0))
+            dfx_parts[ly] = dcandacts
+            dfg_parts[ly] = dgacts
+            dwa_new += _dot(dcandacts, dxm[:, sl1], contract=(1, 1)) \
+                + _dot(dgacts, dgm[:, sl2], contract=(1, 1))
+            ddx_parts[ly] = _dot(wa_new, dcandacts, contract=(0, 0))
+            ddg_parts[ly] = _dot(wa_new, dgacts, contract=(0, 0))
+            dh_prev_parts[ly] = dh_prev_ly
+            if ly > 0:
+                isl1 = slice((ly - 1) * S, ly * S)
+                isl2 = slice((ly - 1) * 2 * S, ly * 2 * S)
+                dbelow = (_dot(dcandacts, iin[:, isl1],
+                               contract=(1, 1))
+                          + _dot(dgacts, igate[:, isl2],
+                                 contract=(1, 1)))
+                # the interlayer input is the UNMASKED updated state of
+                # the layer below — recompute it from the residuals
+                below_val = (u[:, isl1] * cand[:, isl1]
+                             + (1.0 - u[:, isl1]) * h_prev[:, isl1])
+                diin_parts[ly - 1] = _dot(below_val, dcandacts,
+                                          contract=(0, 0))
+                digate_parts[ly - 1] = _dot(below_val, dgacts,
+                                            contract=(0, 0))
+            else:
+                dbelow = None
+        catl = lambda xs: (xs[0] if N == 1
+                           else jnp.concatenate(xs, axis=1))
+        dh_prev = catl(dh_prev_parts)
+        if stacked:
+            diin_acc += (diin_parts[0] if N == 2
+                         else jnp.concatenate(diin_parts, axis=1))
+            digate_acc += (digate_parts[0] if N == 2
+                           else jnp.concatenate(digate_parts, axis=1))
+        dwss_acc += catl(dwss_parts)
+        dwsg_acc += catl(dwsg_parts)
+        ddx_acc += catl(ddx_parts)
+        ddg_acc += catl(ddg_parts)
+        dfx_ref[j] = catl(dfx_parts).astype(dfx_ref.dtype)
+        dfg_ref[j] = catl(dfg_parts).astype(dfg_ref.dtype)
 
         # ---- weighted average backward -------------------------------
         dwnew = dwnew + (att * dwa_new[:, None, :]).sum(axis=2)
@@ -396,6 +515,9 @@ def _bwd_kernel(dh_ref, dw_ref, dwa_ref,
     dwsg_ref[...] += dwsg_acc
     ddx_ref[...] += ddx_acc
     ddg_ref[...] += ddg_acc
+    if stacked:
+        diin_ref[...] += diin_acc
+        digate_ref[...] += digate_acc
     dh_sc[...] = dh_c
     dw_sc[...] = dw_c
     dwa_sc[...] = dwa_c
@@ -413,18 +535,21 @@ def _cfg_key(cfg):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _decoder_scan(cfgk, interpret, fx, fg, mask, step0, pre, attended,
                   amask, h0, w0, wa0, toep, st, hand, v, e_bias, wss,
-                  wsg, dxm, dgm):
+                  wsg, dxm, dgm, iin, igate):
     out, _ = _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0,
                                pre, attended, amask, h0, w0, wa0, toep,
-                               st, hand, v, e_bias, wss, wsg, dxm, dgm)
+                               st, hand, v, e_bias, wss, wsg, dxm, dgm,
+                               iin, igate)
     return out
 
 
 def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
                       attended, amask, h0, w0, wa0, toep, st, hand, v,
-                      e_bias, wss, wsg, dxm, dgm):
+                      e_bias, wss, wsg, dxm, dgm, iin, igate):
     cfg = dict(cfgk)
-    T, B, S = fx.shape
+    T, B, NS = fx.shape                        # NS = dec_stack * S
+    N = cfg["dec_stack"]
+    S = cfg["S"]
     L = cfg["L"]
     M = st.shape[1]
     D = attended.shape[2]
@@ -445,48 +570,54 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
     seq = lambda *d: pl.BlockSpec((C,) + d, lambda t: (t,) + (0,) * len(d))
     const = lambda *d: pl.BlockSpec(d, lambda t: (0,) * len(d))
     e0 = jnp.zeros((B, L), jnp.float32)
+    in_specs = [
+        seq(B, NS),                  # fx (lane-stacked layers)
+        seq(B, 2 * NS),              # fg
+        pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),   # mask
+        pl.BlockSpec((C, 1, 1), lambda t: (t, 0, 0)),   # step0
+        const(B, L, M),              # pre
+        const(B, L, D),              # attended
+        const(B, L),                 # amask
+        const(1, B, NS), const(1, B, L), const(1, B, D),
+        const(1, B, L),              # e0
+        const(L, Fh * L),            # toep (filter-major lanes)
+        const(L, L),                 # tri
+        const(NS, M),                # state_trans (row-stacked)
+        const(Fh, M), const(1, M),
+        const(1, 1),                 # energy bias
+        const(S, NS), const(S, 2 * NS),     # wss / wsg (lane-stacked)
+        const(D, NS), const(D, 2 * NS),     # dxm / dgm
+    ]
+    operands = [fx_p, fg_p, mask_p.reshape(T_pad, 1, B),
+                step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
+                pre, attended, amask,
+                h0[None], w0[None], wa0[None], e0[None], toep, tri, st,
+                hand.reshape(Fh, M), v.reshape(1, M),
+                e_bias.reshape(1, 1), wss, wsg, dxm, dgm]
+    if N > 1:
+        in_specs += [const(S, (N - 1) * S), const(S, (N - 1) * 2 * S)]
+        operands += [iin, igate]
     outs = pl.pallas_call(
         kernel,
         grid=(T_pad // C,),
-        in_specs=[
-            seq(B, S),                   # fx
-            seq(B, 2 * S),               # fg
-            pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),   # mask
-            pl.BlockSpec((C, 1, 1), lambda t: (t, 0, 0)),   # step0
-            const(B, L, M),              # pre
-            const(B, L, D),              # attended
-            const(B, L),                 # amask
-            const(1, B, S), const(1, B, L), const(1, B, D),
-            const(1, B, L),              # e0
-            const(L, Fh * L),            # toep (filter-major lanes)
-            const(L, L),                 # tri
-            const(S, M), const(Fh, M), const(1, M),
-            const(1, 1),                 # energy bias
-            const(S, S), const(S, 2 * S),
-            const(D, S), const(D, 2 * S),
-        ],
-        out_specs=(seq(B, S), seq(B, L), seq(B, D), seq(B, L),
-                   seq(B, S), seq(B, S), seq(B, S)),
+        in_specs=in_specs,
+        out_specs=(seq(B, NS), seq(B, L), seq(B, D), seq(B, L),
+                   seq(B, NS), seq(B, NS), seq(B, NS)),
         out_shape=tuple(
             jax.ShapeDtypeStruct((T_pad, B, d), jnp.float32)
-            for d in (S, L, D, L, S, S, S)),
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
+            for d in (NS, L, D, L, NS, NS, NS)),
+        scratch_shapes=[pltpu.VMEM((B, NS), jnp.float32),
                         pltpu.VMEM((B, L), jnp.float32),
                         pltpu.VMEM((B, D), jnp.float32),
                         pltpu.VMEM((B, L), jnp.float32)]
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
-    )(fx_p, fg_p, mask_p.reshape(T_pad, 1, B),
-      step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
-      pre, attended, amask,
-      h0[None], w0[None], wa0[None], e0[None], toep, tri, st,
-      hand.reshape(Fh, M), v.reshape(1, M),
-      e_bias.reshape(1, 1), wss, wsg, dxm, dgm)
+    )(*operands)
     hs, ws, was, es, us, rs, cs = outs
     res = (fx, fg, mask_p, step0_p, pre, attended, amask, h0, w0, wa0,
-           toep, st, hand, v, e_bias, wss, wsg, dxm, dgm, hs, ws, was,
-           us, rs, cs)
+           toep, st, hand, v, e_bias, wss, wsg, dxm, dgm, iin, igate,
+           hs, ws, was, us, rs, cs)
     out = (hs[:T], ws[:T], was[:T], es[:T])
     return out, res
 
@@ -494,10 +625,12 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
 def _decoder_scan_bwd(cfgk, interpret, res, cts):
     cfg = dict(cfgk)
     (fx, fg, mask_p, step0_p, pre, attended, amask, h0, w0, wa0, toep,
-     st, hand, v, e_bias, wss, wsg, dxm, dgm, hs, ws, was, us, rs,
-     cs) = res
+     st, hand, v, e_bias, wss, wsg, dxm, dgm, iin, igate, hs, ws, was,
+     us, rs, cs) = res
     dhs, dws, dwas, _des = cts
-    T, B, S = fx.shape
+    T, B, NS = fx.shape
+    N = cfg["dec_stack"]
+    S = cfg["S"]
     T_pad = hs.shape[0]
     L = cfg["L"]
     M = st.shape[1]
@@ -511,7 +644,7 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
             return jnp.zeros(shape, jnp.float32)
         return _pad_time(x.astype(jnp.float32), T_pad)
 
-    dhs = cot(dhs, (T_pad, B, S))
+    dhs = cot(dhs, (T_pad, B, NS))
     dws = cot(dws, (T_pad, B, L))
     dwas = cot(dwas, (T_pad, B, D))
     hprev = jnp.concatenate([h0[None].astype(jnp.float32), hs[:-1]], 0)
@@ -527,63 +660,82 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
                                   lambda t: (Tc - 1 - t,) + (0,) * len(d))
     const = lambda *d: pl.BlockSpec(d, lambda t: (0,) * len(d))
     f32 = jnp.float32
+    in_specs = [
+        rev(B, NS), rev(B, L), rev(B, D),          # cotangents
+        rev(B, NS), rev(B, L),                     # prev h/w
+        rev(B, NS), rev(B, L), rev(B, D),          # h/w/wa
+        rev(B, NS), rev(B, NS), rev(B, NS),        # u r cand
+        pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
+        pl.BlockSpec((C, 1, 1), lambda t: (Tc - 1 - t, 0, 0)),
+        const(B, L, M), const(B, L, D), const(B, L),
+        const(L, Fh * L),                          # toep
+        const(L, L),                               # tri
+        const(NS, M), const(Fh, M), const(1, M),
+        const(1, 1),                               # energy bias
+        const(S, NS), const(S, 2 * NS),
+        const(D, NS), const(D, 2 * NS),
+    ]
+    operands = [dhs, dws, dwas, hprev, wprev, hs, ws, was, us, rs, cs,
+                mask_p.reshape(T_pad, 1, B),
+                step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
+                pre, attended, amask, toep, tri, st,
+                hand.reshape(Fh, M), v.reshape(1, M),
+                e_bias.reshape(1, 1), wss, wsg, dxm, dgm]
+    if N > 1:
+        in_specs += [const(S, (N - 1) * S), const(S, (N - 1) * 2 * S)]
+        operands += [iin, igate]
+    out_specs = [rev(B, NS), rev(B, 2 * NS),
+                 pl.BlockSpec((B, NS), lambda t: (0, 0)),
+                 pl.BlockSpec((B, D), lambda t: (0, 0)),
+                 const(B, L, M), const(B, L, D), const(L, Fh * L),
+                 const(NS, M), const(Fh, M), const(1, M),
+                 const(1, 1),
+                 const(S, NS), const(S, 2 * NS),
+                 const(D, NS), const(D, 2 * NS)]
+    out_shape = [
+        jax.ShapeDtypeStruct((T_pad, B, NS), f32),
+        jax.ShapeDtypeStruct((T_pad, B, 2 * NS), f32),
+        jax.ShapeDtypeStruct((B, NS), f32),
+        jax.ShapeDtypeStruct((B, D), f32),
+        jax.ShapeDtypeStruct((B, L, M), f32),
+        jax.ShapeDtypeStruct((B, L, D), f32),
+        jax.ShapeDtypeStruct((L, Fh * L), f32),
+        jax.ShapeDtypeStruct((NS, M), f32),
+        jax.ShapeDtypeStruct((Fh, M), f32),
+        jax.ShapeDtypeStruct((1, M), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+        jax.ShapeDtypeStruct((S, NS), f32),
+        jax.ShapeDtypeStruct((S, 2 * NS), f32),
+        jax.ShapeDtypeStruct((D, NS), f32),
+        jax.ShapeDtypeStruct((D, 2 * NS), f32),
+    ]
+    if N > 1:
+        out_specs += [const(S, (N - 1) * S),
+                      const(S, (N - 1) * 2 * S)]
+        out_shape += [
+            jax.ShapeDtypeStruct((S, (N - 1) * S), f32),
+            jax.ShapeDtypeStruct((S, (N - 1) * 2 * S), f32)]
     outs = pl.pallas_call(
         kernel,
         grid=(Tc,),
-        in_specs=[
-            rev(B, S), rev(B, L), rev(B, D),           # cotangents
-            rev(B, S), rev(B, L),                      # prev h/w
-            rev(B, S), rev(B, L), rev(B, D),           # h/w/wa
-            rev(B, S), rev(B, S), rev(B, S),           # u r cand
-            pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
-            pl.BlockSpec((C, 1, 1), lambda t: (Tc - 1 - t, 0, 0)),
-            const(B, L, M), const(B, L, D), const(B, L),
-            const(L, Fh * L),                          # toep
-            const(L, L),                               # tri
-            const(S, M), const(Fh, M), const(1, M),
-            const(1, 1),                               # energy bias
-            const(S, S), const(S, 2 * S),
-            const(D, S), const(D, 2 * S),
-        ],
-        out_specs=(rev(B, S), rev(B, 2 * S),
-                   pl.BlockSpec((B, S), lambda t: (0, 0)),
-                   pl.BlockSpec((B, D), lambda t: (0, 0)),
-                   const(B, L, M), const(B, L, D), const(L, Fh * L),
-                   const(S, M), const(Fh, M), const(1, M),
-                   const(1, 1),
-                   const(S, S), const(S, 2 * S),
-                   const(D, S), const(D, 2 * S)),
-        out_shape=(
-            jax.ShapeDtypeStruct((T_pad, B, S), f32),
-            jax.ShapeDtypeStruct((T_pad, B, 2 * S), f32),
-            jax.ShapeDtypeStruct((B, S), f32),
-            jax.ShapeDtypeStruct((B, D), f32),
-            jax.ShapeDtypeStruct((B, L, M), f32),
-            jax.ShapeDtypeStruct((B, L, D), f32),
-            jax.ShapeDtypeStruct((L, Fh * L), f32),
-            jax.ShapeDtypeStruct((S, M), f32),
-            jax.ShapeDtypeStruct((Fh, M), f32),
-            jax.ShapeDtypeStruct((1, M), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-            jax.ShapeDtypeStruct((S, S), f32),
-            jax.ShapeDtypeStruct((S, 2 * S), f32),
-            jax.ShapeDtypeStruct((D, S), f32),
-            jax.ShapeDtypeStruct((D, 2 * S), f32),
-        ),
-        scratch_shapes=[pltpu.VMEM((B, S), f32),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((B, NS), f32),
                         pltpu.VMEM((B, L), f32),
                         pltpu.VMEM((B, D), f32)]
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
-    )(dhs, dws, dwas, hprev, wprev, hs, ws, was, us, rs, cs,
-      mask_p.reshape(T_pad, 1, B),
-      step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
-      pre, attended, amask, toep, tri, st,
-      hand.reshape(Fh, M), v.reshape(1, M),
-      e_bias.reshape(1, 1), wss, wsg, dxm, dgm)
-    (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, deb,
-     dwss, dwsg, ddx, ddg) = outs
+    )(*operands)
+    if N > 1:
+        (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, deb,
+         dwss, dwsg, ddx, ddg, diin, digate) = outs
+    else:
+        (dfx, dfg, dh0, dwa0, dpre, datt, dtoep, dst, dhand, dv, deb,
+         dwss, dwsg, ddx, ddg) = outs
+        diin = jnp.zeros_like(iin)
+        digate = jnp.zeros_like(igate)
     z = jnp.zeros
     return (dfx[:T].astype(fx.dtype), dfg[:T].astype(fg.dtype),
             z((T, B), fx.dtype),          # mask
@@ -598,7 +750,8 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
             dv.reshape(v.shape).astype(v.dtype),
             deb.reshape(e_bias.shape).astype(e_bias.dtype),
             dwss.astype(wss.dtype), dwsg.astype(wsg.dtype),
-            ddx.astype(dxm.dtype), ddg.astype(dgm.dtype))
+            ddx.astype(dxm.dtype), ddg.astype(dgm.dtype),
+            diin.astype(iin.dtype), digate.astype(igate.dtype))
 
 
 _decoder_scan.defvjp(_decoder_scan_fwd, _decoder_scan_bwd)
@@ -607,7 +760,8 @@ _decoder_scan.defvjp(_decoder_scan_fwd, _decoder_scan_bwd)
 def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
                        wa0, toep, st, hand, v, wss, wsg, dxm, dgm, *,
                        prior, e_bias=None, normalizer="softmax",
-                       n_filters=1, interpret=False):
+                       n_filters=1, dec_stack=1, inter_in=None,
+                       inter_gate=None, interpret=False):
     """Differentiable fused attention-decoder scan.
 
     fx (T,B,S) / fg (T,B,2S): fork projections of the fed-back labels
@@ -623,11 +777,17 @@ def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
     toep/hand).  Returns (h_seq, weights_seq, wa_seq, energies_seq),
     each (T,B,·), mask-mixed like the XLA scan.
     """
-    T, B, S = fx.shape
+    T, B, NS = fx.shape
+    S = NS // int(dec_stack)                   # per-layer state dim
     if mask is None:
         mask = jnp.ones((T, B), jnp.float32)
     if e_bias is None:
         e_bias = jnp.zeros((1, 1), jnp.float32)
+    if inter_in is None:
+        # placeholders keep the custom-VJP arity stable for stack=1
+        # (they are not wired into the kernels then)
+        inter_in = jnp.zeros((S, 1), jnp.float32)
+        inter_gate = jnp.zeros((S, 1), jnp.float32)
     # the expanding prior consumes step[0]: the per-step scalar equals
     # the number of unmasked steps row 0 has seen (mask-mixed carry)
     step0 = jnp.concatenate(
@@ -644,6 +804,7 @@ def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
         min_speed=float(p.get("min_speed", 0.0)),
         max_speed=float(p.get("max_speed", 0.0)),
         normalizer=str(normalizer), n_filters=int(n_filters),
+        dec_stack=int(dec_stack),
     )
     f32 = jnp.float32
     hand2 = hand.reshape(-1, hand.shape[-1]) if hand.ndim == 2 \
@@ -655,4 +816,5 @@ def decoder_scan_train(fx, fg, mask, pre, attended, att_mask, h0, w0,
         wa0.astype(f32), toep.astype(f32), st.astype(f32),
         hand2.astype(f32), v.astype(f32),
         jnp.asarray(e_bias, f32).reshape(1, 1), wss.astype(f32),
-        wsg.astype(f32), dxm.astype(f32), dgm.astype(f32))
+        wsg.astype(f32), dxm.astype(f32), dgm.astype(f32),
+        inter_in.astype(f32), inter_gate.astype(f32))

@@ -73,8 +73,13 @@ EXPANDING = {"type": "expanding", "initial_begin": 0, "initial_end": 6,
                  marks=pytest.mark.slow),
     pytest.param(None, False, {"attention_type": "content"},
                  marks=pytest.mark.slow),
+    pytest.param(EXPANDING, False, {"dec_stack": 2},
+                 marks=pytest.mark.slow),
+    pytest.param(EXPANDING, True, {"dec_stack": 2},
+                 marks=pytest.mark.slow),
 ], ids=["flagship", "conv3", "mean", "median", "median-states",
-        "logistic", "relu", "mean-maxout-shape", "content"])
+        "logistic", "relu", "mean-maxout-shape", "content",
+        "stack2", "stack2-states"])
 def test_fused_train_scan_matches_xla(prior, states_readout, overrides):
     cfg = dict(BASE, prior=prior, use_states_for_readout=states_readout,
                **overrides)
