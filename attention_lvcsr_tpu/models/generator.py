@@ -459,12 +459,9 @@ class SequenceGenerator(nn.Module):
             return "interpret"
         if att.use_pallas == "never":
             return None
-        # single-device shapes only: pallas_call has no SPMD
-        # partitioning rule — but inside the shard_map-dp train step
-        # every shard IS single-device shaped (parallel/mesh.py)
-        from attention_lvcsr_tpu.parallel.mesh import in_shard_map
-        if jax.default_backend() == "tpu" and (
-                jax.device_count() == 1 or in_shard_map()):
+        from attention_lvcsr_tpu.parallel.mesh import \
+            pallas_train_kernels_allowed
+        if pallas_train_kernels_allowed():
             return "compile"
         return None
 
@@ -534,9 +531,12 @@ class SequenceGenerator(nn.Module):
 
         amask = (attended_mask if attended_mask is not None
                  else jnp.ones((B, L), dtype))
+        # content attention has NO window: the synthetic expanding
+        # prior must cover every attended position (not a literal that
+        # long-form audio could exceed)
         prior = (att._prior() if hasattr(att, "_prior")
                  else {"type": "expanding", "initial_begin": 0,
-                       "initial_end": 10000, "min_speed": 0,
+                       "initial_end": float(L), "min_speed": 0,
                        "max_speed": 0})
         fx_all = cat([forked_seq[ly]["inputs"] for ly in range(N)],
                      ax=2)

@@ -178,16 +178,12 @@ class RecognizerNet(nn.Module):
                     pallas = "compile"
             elif not os.environ.get("LVSR_NO_TRAIN_GRU"):
                 # differentiable fused scan (custom VJP) for training;
-                # single-device SHAPES only — under SPMD the pallas_call
-                # has no partitioning rule, so sharded meshes keep the
-                # XLA scan, EXCEPT inside the shard_map-dp train step
-                # where every shard is local-shaped (parallel/mesh.py)
+                # needs single-device SHAPES (parallel/mesh.py)
                 from attention_lvcsr_tpu.parallel.mesh import \
-                    in_shard_map
+                    pallas_train_kernels_allowed
                 if self.use_pallas == "interpret":
                     pallas = "train_interpret"
-                elif jax.default_backend() == "tpu" and (
-                        jax.device_count() == 1 or in_shard_map()):
+                elif pallas_train_kernels_allowed():
                     pallas = "train"
         encoded, encoded_mask = self.encoder(bottom_out, inputs_mask,
                                              pallas=pallas)

@@ -466,7 +466,10 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
             else:  # relu
                 gprime = (energies > 0.0).astype(f32) / 1000.0
             dE = dq * gprime * combined
-        deb_acc += dE.sum().reshape(1, 1)
+        if cfg["normalizer"] != "softmax":
+            # softmax is shift-invariant: the bias cotangent is exactly
+            # zero there, so skip the per-step global reduce
+            deb_acc += dE.sum().reshape(1, 1)
 
         # ---- energies backward over the recomputed match tensor ------
         dmatch = (dE[:, :, None] * v[None, :, :]

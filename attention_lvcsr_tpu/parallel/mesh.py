@@ -41,6 +41,24 @@ def in_shard_map() -> bool:
     return _IN_SHARD_MAP.get()
 
 
+def pallas_train_kernels_allowed() -> bool:
+    """Whether the differentiable Pallas training kernels may compile:
+    they have no SPMD partitioning rule, so they need single-device
+    SHAPES — one real device, or the local view inside the
+    shard_map-dp train step."""
+    return (jax.default_backend() == "tpu"
+            and (jax.device_count() == 1 or in_shard_map()))
+
+
+def get_shard_map():
+    """The shard_map entry point across JAX versions."""
+    try:
+        from jax import shard_map
+    except ImportError:                            # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
               devices=None) -> Mesh:
     """Mesh with ('data', 'model') axes over the available devices."""
@@ -129,10 +147,15 @@ def make_parallel_train_step(step_fn, mesh: Mesh, shard_map_dp=False):
         raise ValueError(
             "shard_map_dp is pure data parallelism; use the default "
             "SPMD mode for model-parallel meshes")
-    try:
-        from jax import shard_map as _shard_map
-    except ImportError:                            # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _shard_map
+    # without the in-step gradient pmean each shard would apply its
+    # LOCAL gradient and silently diverge — require the marker that
+    # make_train_step(pmean_axis='data') attaches
+    if getattr(step_fn, "pmean_axis", None) != "data":
+        raise ValueError(
+            "shard_map_dp needs a step built with make_train_step("
+            "..., pmean_axis='data') so gradients are averaged over "
+            "the mesh inside the step")
+    _shard_map = get_shard_map()
 
     def local_step(params, opt_state, rng, *batch):
         # per-shard rng so dropout / weight noise differ across shards

@@ -447,10 +447,12 @@ class BeamSearch:
                 self._tables_cache = (params_token, {}, params)
             self._tables_cache[1][tkey] = tables
         data = dict(data, tables=tables)
-        # content-only attention has no window prior: the expanding
-        # defaults give the full-window mask the XLA path uses
+        # content-only attention has no window prior: synthesize an
+        # expanding window covering EVERY position (the default 1e4
+        # literal could clip extreme-length audio)
         is_content = net.attention_type == "content"
-        prior = {} if is_content else dict(net.prior or {})
+        prior = ({"initial_end": float(L) + 1.0} if is_content
+                 else dict(net.prior or {}))
         lm_fusion = None
         packed_lm = self._lm_packed()
         if packed_lm is not None:
@@ -476,16 +478,15 @@ class BeamSearch:
             # kernel on its local batch slice (tables replicated);
             # results are bit-identical to single-device per utterance
             from jax.sharding import PartitionSpec as P
-            try:
-                from jax import shard_map as _shard_map
-            except ImportError:                    # pragma: no cover
-                from jax.experimental.shard_map import \
-                    shard_map as _shard_map
+
+            from attention_lvcsr_tpu.parallel.mesh import get_shard_map
+            _shard_map = get_shard_map()
             dp = mesh.shape["data"]
             if data["pre"].shape[0] % dp:
                 raise ValueError(
-                    f"batch {data['pre'].shape[0]} must divide the "
-                    f"'data' axis ({dp}) for the sharded loop decode")
+                    f"batch {data['pre'].shape[0]} must be a multiple "
+                    f"of the 'data' axis size ({dp}) for the sharded "
+                    f"loop decode")
 
             def loop_fn(pre, attended, amask, tables, **kw):
                 return _shard_map(

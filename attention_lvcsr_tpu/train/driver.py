@@ -240,8 +240,13 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
             loss_fn, has_aux=True)(params)
         if pmean_axis is not None:
             grads = jax.lax.pmean(grads, pmean_axis)
-            monitors = jax.tree.map(
-                lambda v: jax.lax.pmean(v, pmean_axis), monitors)
+            # extremes stay global extremes; everything else averages
+            monitors = {
+                k: (jax.lax.pmax(v, pmean_axis) if k.startswith("max_")
+                    else jax.lax.pmin(v, pmean_axis)
+                    if k.startswith("min_")
+                    else jax.lax.pmean(v, pmean_axis))
+                for k, v in monitors.items()}
         import optax
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
@@ -251,6 +256,8 @@ def make_train_step(recognizer: SpeechRecognizer, optimizer, config,
         monitors["total_step_norm"] = step_norm
         return new_params, new_opt_state, monitors
 
+    # marker consumed by make_parallel_train_step(shard_map_dp=True)
+    step.pmean_axis = pmean_axis
     return step
 
 

@@ -147,37 +147,18 @@ def test_shipped_config_library_train_routing():
     """Every shipped config's net section must classify through the
     fused-train routing without crashing, and the paper families must
     route to the fused decoder scan when training (interpret here)."""
-    import glob
     import os
 
-    from attention_lvcsr_tpu.config import Configuration
+    from config_probe import build_net_from_config, shipped_config_paths
 
-    root = os.path.join(os.path.dirname(__file__), os.pardir)
-    paths = sorted(
-        glob.glob(os.path.join(root, "exp", "*", "configs", "*.yaml")))
+    paths = shipped_config_paths()
     assert len(paths) >= 20
     routed = {}
     for path in paths:
-        config = Configuration(path)
-        net_config = dict(config.get("net") or {})
-        if not net_config:
+        net = build_net_from_config(path, drop_lm=True,
+                                    use_pallas="interpret")
+        if net is None:
             continue
-        net_config.pop("input_sources", None)
-        net_config.pop("compute_dtype", None)
-        # decode-time shallow fusion config; training never loads it
-        net_config.pop("lm", None)
-        bottom = net_config.get("bottom", {"bottom_class": "speech"})
-        kind = str(bottom.get("bottom_class", "speech")).rsplit(
-            ".", 1)[-1]
-        if kind in ("speech", "SpeechBottom"):
-            dims = {"input_dims": {"recordings": 123},
-                    "input_num_chars": {}}
-        else:
-            dims = {"input_dims": {},
-                    "input_num_chars": {"inputs": 32}}
-        net = RecognizerNet(**dict(
-            net_config, **dims, eos_label=31, num_phonemes=32,
-            use_pallas="interpret"))
         # _fused_train_mode reads module attributes bound in setup, so
         # probe it inside an init trace (params are thrown away)
         mode = {}
