@@ -99,7 +99,7 @@ def _kernel(*refs,
             l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
             norm_am, norm_lm, norm_tot, no_trans,
             normalizer, states_readout, maxout, post_act, n_filters,
-            dec_stack):
+            dec_stack, mse_cost):
     n_in = (23 + (2 if dec_stack > 1 else 0)
             + (1 if states_readout else 0) + (6 if lm else 0))
     (pre_ref, att_ref, mask_ref,
@@ -526,7 +526,11 @@ def _kernel(*refs,
         else:
             act = jnp.tanh(merged)
         logits = dot(act, post_k) + post_b              # (R, V)
-        if not lm:
+        if mse_cost:
+            # task-loss models: readouts are predicted gains, the
+            # emitter cost is their negation (RewardRegressionEmitter)
+            costs = -logits
+        elif not lm:
             lmx = jnp.max(logits, axis=1, keepdims=True)
             lse = lmx + jnp.log(
                 jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
@@ -736,7 +740,7 @@ def pick_l_chunk(beam, group, length, match_dim):
                      "initial_end", "min_speed", "max_speed", "group",
                      "lm_fusion", "normalizer", "states_readout",
                      "maxout", "post_act", "content_attention",
-                     "dec_stack", "interpret"))
+                     "dec_stack", "mse_cost", "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
                      beam, max_len, eol, stop_on="patience",
                      ignore_first_eol=False, char_discount=0.0,
@@ -746,7 +750,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
                      lm_fusion=None, normalizer="softmax",
                      states_readout=False, maxout=0, post_act="tanh",
                      content_attention=False, dec_stack=1,
-                     interpret=False):
+                     mse_cost=False, interpret=False):
     """Run the full decode loop.  Returns (done_out (U,K,max_len) int32,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
@@ -808,7 +812,8 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         norm_tot=bool(norm_tot), no_trans=float(no_trans),
         normalizer=str(normalizer), states_readout=bool(states_readout),
         maxout=int(maxout), post_act=str(post_act),
-        n_filters=int(n_filt), dec_stack=int(dec_stack))
+        n_filters=int(n_filt), dec_stack=int(dec_stack),
+        mse_cost=bool(mse_cost))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

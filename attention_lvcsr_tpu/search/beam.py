@@ -367,7 +367,8 @@ class BeamSearch:
                  and (net.conv_num_filters or 1) <= 16
                  and (net.energy_normalizer or "softmax") in (
                      "softmax", "logistic", "relu")))
-            and crit["name"] == "log_likelihood"
+            and (crit["name"] == "log_likelihood"
+                 or (crit["name"].startswith("mse") and not lm))
             and (net.dec_stack or 1) <= 4
             and canon(net.dec_transition) in ("gru", "GatedRecurrent")
             and net.post_merge_dims is not None
@@ -507,6 +508,8 @@ class BeamSearch:
             states_readout=bool(net.use_states_for_readout),
             maxout=maxout, post_act=act, content_attention=is_content,
             dec_stack=int(net.dec_stack or 1),
+            mse_cost=dict(net.criterion or {}).get(
+                "name", "log_likelihood").startswith("mse"),
             eol=eol, stop_on=stop_on, ignore_first_eol=ignore_first_eol,
             char_discount=char_discount, round_to_inf=round_to_inf,
             prior=prior.get("type", "expanding"),

@@ -352,10 +352,11 @@ def test_lm_fusion_wide_beam_parity(tmp_path):
     {"attention_type": "content"},
     {"dec_stack": 2},
     {"dec_stack": 2, "use_states_for_readout": True},
+    {"criterion": {"name": "mse_gain"}},
 ], ids=["states-readout", "logistic", "relu", "maxout", "combined",
         "post-rectifier", "post-sigmoid", "conv3",
         "mean-maxout-shape", "content-attention", "stack2",
-        "stack2-states"])
+        "stack2-states", "mse-gain"])
 def test_variant_kernel_parity(overrides):
     """Non-flagship readout/normalizer variants (the wsj_good /
     mean_maxout / jan-bhd families, TIMIT nips_smooth) run through the
