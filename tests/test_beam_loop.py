@@ -462,7 +462,8 @@ def test_shipped_config_library_routing():
             num_frames=800)
     must_route = ["wsj_paper.yaml", "wsj_paper7.yaml",
                   "wsj_mean_maxout.yaml", "wsj_pyramide.yaml",
-                  "nips_baseline.yaml", "wsj_jan_wsj13v2.yaml"]
+                  "nips_baseline.yaml", "wsj_jan_wsj13v2.yaml",
+                  "wsj_reward.yaml"]
     for name in must_route:
         if name in routed:
             assert routed[name] == "interpret", \
@@ -552,7 +553,8 @@ def test_shipped_config_library_routing():
             num_frames=800)
     must_route = ["wsj_paper.yaml", "wsj_paper7.yaml",
                   "wsj_mean_maxout.yaml", "wsj_pyramide.yaml",
-                  "nips_baseline.yaml", "wsj_jan_wsj13v2.yaml"]
+                  "nips_baseline.yaml", "wsj_jan_wsj13v2.yaml",
+                  "wsj_reward.yaml"]
     for name in must_route:
         if name in routed:
             assert routed[name] == "interpret", \
