@@ -92,8 +92,10 @@ def masked_softmax(energies, mask, axis=-1):
     (``blocks/bricks/attention.py:229-235``): the denominator gets ``+1``
     when the mask is all zeros, keeping the output finite (and zero).
     """
-    neg_inf = jnp.finfo(energies.dtype).min
-    masked = jnp.where(mask > 0, energies, neg_inf)
+    energies = jnp.asarray(energies)
+    # explicit -inf (the isfinite guard below keys on it); finfo.min of
+    # a float64 numpy input would also warn on the f32 cast
+    masked = jnp.where(mask > 0, energies, -jnp.inf)
     m = jnp.max(masked, axis=axis, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     unnorm = jnp.exp(energies - m) * mask
