@@ -471,97 +471,6 @@ def test_shipped_config_library_routing():
     assert sum(1 for v in routed.values() if v == "interpret") >= 15
 
 
-def test_wide_weight_spread_lm_uses_xla_path(tmp_path):
-    """A packed LM whose finite total-weight spread exceeds f32's exp
-    range must NOT opt into the kernel's exp-domain fusion (silent
-    underflow would charge no_transition_cost for reachable-but-
-    expensive transitions) — it routes to the XLA log-domain path and
-    still decodes."""
-    from attention_lvcsr_tpu.ops.fst import arpa_to_fst, write_fst_text
-    arpa_text = """
-\\data\\
-ngram 1=7
-
-\\1-grams:
--99  <s>
--1.2  </s>
--0.2  a
--0.3  b
--0.4  c
--40.0  d
--0.5  E
-\\end\\
-""".strip().splitlines()
-    syms = {"a": 1, "b": 2, "c": 3, "d": 4, "E": 5}
-    path = str(tmp_path / "wide.fst.txt")
-    write_fst_text(arpa_to_fst(arpa_text, syms), path)
-    with open(path + ".syms", "w") as f:
-        for s, i in syms.items():
-            f.write(f"{s} {i}\n")
-    rec = _build_lm("interpret", path)
-    assert rec._beam_search._loop_kernel_mode() is None, \
-        "wide-spread LM must not enter the exp-domain kernel"
-    inputs, mask = _batch()
-    out = rec.beam_search(inputs, mask, as_arrays=True, char_discount=0.1)
-    assert out["done_valid"].any()
-
-
-def test_shipped_config_library_routing():
-    """Every shipped experiment config's net section must CLASSIFY
-    through the loop-kernel routing without crashing, and the known
-    kernel-eligible families must actually route to the kernel
-    (regression net for the variant-coverage work: a config silently
-    dropping to the XLA path is a 25%+ perf cliff)."""
-    import glob
-
-    from attention_lvcsr_tpu.config import Configuration
-    from attention_lvcsr_tpu.models.recognizer import RecognizerNet
-    from attention_lvcsr_tpu.search.beam import BeamSearch
-
-    root = os.path.join(os.path.dirname(__file__), os.pardir)
-    paths = sorted(
-        glob.glob(os.path.join(root, "exp", "*", "configs", "*.yaml")))
-    assert len(paths) >= 20
-    routed = {}
-    for path in paths:
-        config = Configuration(path)
-        net_config = dict(config.get("net") or {})
-        if not net_config:
-            continue
-        net_config.pop("input_sources", None)
-        bottom = net_config.get("bottom", {"bottom_class": "speech"})
-        kind = str(bottom.get("bottom_class", "speech")).rsplit(".", 1)[-1]
-        if kind in ("speech", "SpeechBottom"):
-            dims = {"input_dims": {"recordings": 123},
-                    "input_num_chars": {}}
-        else:
-            dims = {"input_dims": {},
-                    "input_num_chars": {"inputs": 32}}
-        net_config.pop("compute_dtype", None)
-        net = RecognizerNet(**dict(
-            net_config, **dims, eos_label=31, num_phonemes=32,
-            use_pallas="interpret"))
-
-        class _Rec:
-            pass
-
-        rec = _Rec()
-        rec.net = net
-        rec.num_phonemes = 32
-        bs = BeamSearch(rec, 10)
-        routed[os.path.basename(path)] = bs._loop_kernel_mode(
-            num_frames=800)
-    must_route = ["wsj_paper.yaml", "wsj_paper7.yaml",
-                  "wsj_mean_maxout.yaml", "wsj_pyramide.yaml",
-                  "nips_baseline.yaml", "wsj_jan_wsj13v2.yaml",
-                  "wsj_reward.yaml"]
-    for name in must_route:
-        if name in routed:
-            assert routed[name] == "interpret", \
-                f"{name} fell off the loop kernel: {routed[name]}"
-    assert sum(1 for v in routed.values() if v == "interpret") >= 15
-
-
 def test_loop_kernel_bf16_close_to_f32():
     """compute_dtype=bfloat16 through the LOOP KERNEL (bf16 contexts +
     tables in HBM, f32 in-register math): runs, and the top hypothesis
