@@ -403,7 +403,8 @@ class SequenceGenerator(nn.Module):
         init_states = [cell.initial_states(B) for cell in self.cells]
         init_glimpses = self.attention.initial_glimpses(B, attended)
 
-        fused_mode = self._fused_train_mode()
+        fused_mode = self._fused_train_mode(
+            B=B, T=T, L=attended.shape[1], D=attended.shape[2])
         if fused_mode is not None:
             pre_states, glimpses_seq, final_states, final_glimpses = \
                 self._evaluate_fused(
@@ -431,9 +432,16 @@ class SequenceGenerator(nn.Module):
             pre_states, glimpses_seq, final_states, final_glimpses,
             rolled_feedback, lm_states_seq, outputs, mask, groundtruth)
 
-    def _fused_train_mode(self):
+    def _fused_train_mode(self, B=None, T=None, L=None, D=None):
         """'compile'/'interpret' to route evaluate through the fused
-        Pallas decoder scan (ops/pallas/decoder_train.py), else None."""
+        Pallas decoder scan (ops/pallas/decoder_train.py), else None.
+
+        With shapes given, oversize (B, T, L) configurations whose
+        working set has no VMEM-fitting batch block route to the XLA
+        scan instead of RESOURCE_EXHAUSTED-failing in Mosaic (the
+        round-3 B=64 crash: 179.31 MB scoped VMEM wanted on a ~128 MB
+        chip).  The reference trains at any batch size — Theano's scan
+        simply spills (lvsr/main.py:286-683)."""
         import os
 
         from attention_lvcsr_tpu.models.attention import \
@@ -455,6 +463,14 @@ class SequenceGenerator(nn.Module):
             and not os.environ.get("LVSR_NO_TRAIN_DECODER"))
         if not supported:
             return None
+        if B is not None:
+            from attention_lvcsr_tpu.ops.pallas.decoder_train import \
+                fused_train_fits
+            n_filters = att.conv_num_filters if is_conv else 0
+            if not fused_train_fits(B, T, L, att.match_dim, D,
+                                    self.dim_dec, self.dec_stack,
+                                    n_filters):
+                return None
         if att.use_pallas == "interpret":
             return "interpret"
         if att.use_pallas == "never":

@@ -42,6 +42,7 @@ readout happens outside the scan).  Reference semantics:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,81 @@ from attention_lvcsr_tpu.ops.pallas.common import pltpu
 
 NEG = -1e30
 CHUNK = 4
+
+# VMEM working-set budget per batch block.  v5e has ~128 MB of VMEM and
+# the pallas_call asserts vmem_limit_bytes=100 MB; the bytes model below
+# is an estimate (Mosaic adds register-allocator slack), so the picker
+# targets well under the limit.
+VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def _fwd_bytes(BB, C, L, M, D, NS, Fh):
+    """Estimated forward-kernel VMEM bytes at batch block ``BB``."""
+    elems = (
+        BB * L * (M + D) + BB * L            # pre, attended, amask
+        + L * Fh * L + L * L + NS * M        # toep, tri, state_trans
+        + BB * 2 * (NS + L + D + L)          # init rows + carry scratch
+        + 2 * C * BB * 3 * NS                # seq inputs (double-buffered)
+        + 2 * C * BB * (4 * NS + 2 * L + D)  # seq outputs
+        + 2 * BB * L * M + BB * L * D        # match + conv_term + wa temp
+        + BB * Fh * L                        # conv
+    )
+    return 4 * elems
+
+
+def _bwd_bytes(BB, C, L, M, D, NS, Fh):
+    """Estimated backward-kernel VMEM bytes at batch block ``BB``.
+
+    Round 3's failure: at B=64/L=200/M=250/D=500 the un-blocked
+    backward wanted 179.31 MB (92.5 MB register spill from the
+    (B,L,M)/(B,L,D) grad accumulators held live across the chunk loop).
+    The accumulators now live in the output refs and the batch is
+    blocked, so this model bounds the true working set."""
+    elems = (
+        2 * BB * L * (M + D) + BB * L        # pre/att + dpre/datt refs
+        + L * Fh * L + L * L + NS * M        # toep, tri, state_trans
+        + BB * (NS + L + D)                  # carry scratch
+        + 2 * C * BB * (6 * NS + 3 * L + 2 * D)   # seq inputs
+        + 2 * C * BB * 3 * NS                # dfx/dfg outputs
+        + 2 * BB * L * M + 2 * BB * L * D    # match/dmatch + outer temps
+        + 3 * BB * Fh * L                    # conv/dconv/dwg
+    )
+    return 4 * elems
+
+
+def pick_batch_block(B, T, L, M, D, NS, Fh, bytes_fn):
+    """Largest divisor of ``B`` whose working set fits VMEM_BUDGET,
+    or None when even a single row does not fit (caller falls back to
+    the XLA scan).  ``LVSR_TRAIN_BB`` forces a specific block size for
+    tests (must divide B)."""
+    C = min(CHUNK, max(T, 1))
+    env = os.environ.get("LVSR_TRAIN_BB")
+    if env:
+        bb = min(int(env), B)
+        if B % bb == 0:
+            return bb
+    for bb in range(B, 0, -1):
+        if B % bb:
+            continue
+        # Mosaic tiling: a batch block must be the full batch or a
+        # multiple of the 8-row sublane (block shapes (BB, X))
+        if bb != B and bb % 8:
+            continue
+        if bytes_fn(bb, C, L, M, D, NS, Fh) <= VMEM_BUDGET:
+            return bb
+    return None
+
+
+def fused_train_fits(B, T, L, M, D, S, dec_stack, n_filters):
+    """Shape gate for models/generator._fused_train_mode: True when both
+    kernels have a batch block that fits VMEM (VERDICT r3 task 1 — the
+    variant gate alone let B=64 reach Mosaic and RESOURCE_EXHAUSTED)."""
+    NS = S * int(dec_stack)
+    Fh = max(int(n_filters), 1)
+    return (pick_batch_block(B, T, L, M, D, NS, Fh, _fwd_bytes)
+            is not None
+            and pick_batch_block(B, T, L, M, D, NS, Fh, _bwd_bytes)
+            is not None)
 
 
 def _window_masks(w, step0, amask, pos, pos1, tri, *, prior, before,
@@ -158,7 +234,7 @@ def _fwd_kernel(*refs, cfg, chunk):
     f32 = jnp.float32
     S = cfg["S"]
     L = cfg["L"]
-    t = pl.program_id(0)
+    t = pl.program_id(1)               # grid = (batch blocks, T chunks)
 
     @pl.when(t == 0)
     def _():
@@ -235,7 +311,7 @@ def _fwd_kernel(*refs, cfg, chunk):
         r = catl(r_parts)
         cand = catl(c_parts)
 
-        m = m_ref[j, 0].astype(f32).reshape(-1, 1) > 0.5    # (B, 1)
+        m = m_ref[j].astype(f32) > 0.5                      # (B, 1)
         # where-mix, not arithmetic mix: a relu-normalizer row whose
         # masked energies are all <= 0 divides 0/0 (the reference's own
         # behavior) and 0 * NaN would leak the NaN into masked rows
@@ -283,15 +359,24 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
     S = cfg["S"]
     L = cfg["L"]
     N = cfg["dec_stack"]
-    t = pl.program_id(0)
+    b = pl.program_id(0)               # grid = (batch blocks, T chunks)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
+        # per-batch-block state: the reverse-time carry and the
+        # batch-blocked input grads (their blocks are b-indexed, so each
+        # block starts fresh when its b slice begins)
         dh_sc[...] = jnp.zeros_like(dh_sc)
         dw_sc[...] = jnp.zeros_like(dw_sc)
         dwa_sc[...] = jnp.zeros_like(dwa_sc)
         dpre_ref[...] = jnp.zeros_like(dpre_ref)
         datt_ref[...] = jnp.zeros_like(datt_ref)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        # parameter grads accumulate across ALL batch blocks (constant
+        # block index): zero exactly once at the very first grid step
         dtoep_ref[...] = jnp.zeros_like(dtoep_ref)
         dst_ref[...] = jnp.zeros_like(dst_ref)
         dhand_ref[...] = jnp.zeros_like(dhand_ref)
@@ -325,26 +410,15 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(f32)
     pos1 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1).astype(f32)
 
-    dpre_acc = jnp.zeros_like(dpre_ref)
-    datt_acc = jnp.zeros_like(datt_ref)
-    dtoep_acc = jnp.zeros_like(dtoep_ref)
-    dst_acc = jnp.zeros_like(dst_ref)
-    dhand_acc = jnp.zeros_like(dhand_ref)
-    dv_acc = jnp.zeros_like(dv_ref)
-    deb_acc = jnp.zeros_like(deb_ref)
-    dwss_acc = jnp.zeros_like(dwss_ref)
-    dwsg_acc = jnp.zeros_like(dwsg_ref)
-    ddx_acc = jnp.zeros_like(ddx_ref)
-    ddg_acc = jnp.zeros_like(ddg_ref)
-    if stacked:
-        diin_acc = jnp.zeros_like(diin_ref)
-        digate_acc = jnp.zeros_like(digate_ref)
-
+    # Gradients accumulate DIRECTLY into the output refs (VMEM) per
+    # chunk step.  Round 3 carried (B,L,M)/(B,L,D) f32 accumulator
+    # VALUES across the whole chunk loop instead — Mosaic kept them
+    # live in registers and spilled 92.5 MB at B=64.
     dh_c = dh_sc[...]
     dw_c = dw_sc[...]
     dwa_c = dwa_sc[...]
     for j in reversed(range(chunk)):
-        m = m_ref[j, 0].astype(f32).reshape(-1, 1)
+        m = m_ref[j].astype(f32)                            # (B, 1)
         h_prev = hprev_ref[j].astype(f32)
         w_prev = wprev_ref[j].astype(f32)
         u = u_ref[j].astype(f32)
@@ -430,20 +504,20 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
                            else jnp.concatenate(xs, axis=1))
         dh_prev = catl(dh_prev_parts)
         if stacked:
-            diin_acc += (diin_parts[0] if N == 2
-                         else jnp.concatenate(diin_parts, axis=1))
-            digate_acc += (digate_parts[0] if N == 2
-                           else jnp.concatenate(digate_parts, axis=1))
-        dwss_acc += catl(dwss_parts)
-        dwsg_acc += catl(dwsg_parts)
-        ddx_acc += catl(ddx_parts)
-        ddg_acc += catl(ddg_parts)
+            diin_ref[...] += (diin_parts[0] if N == 2
+                              else jnp.concatenate(diin_parts, axis=1))
+            digate_ref[...] += (digate_parts[0] if N == 2
+                                else jnp.concatenate(digate_parts, axis=1))
+        dwss_ref[...] += catl(dwss_parts)
+        dwsg_ref[...] += catl(dwsg_parts)
+        ddx_ref[...] += catl(ddx_parts)
+        ddg_ref[...] += catl(ddg_parts)
         dfx_ref[j] = catl(dfx_parts).astype(dfx_ref.dtype)
         dfg_ref[j] = catl(dfg_parts).astype(dfg_ref.dtype)
 
         # ---- weighted average backward -------------------------------
         dwnew = dwnew + (att * dwa_new[:, None, :]).sum(axis=2)
-        datt_acc += wnew[:, :, None] * dwa_new[:, None, :]
+        datt_ref[...] += wnew[:, :, None] * dwa_new[:, None, :]
 
         # ---- recompute the attention step for the backward ----------
         _, _, energies, gmask, combined, denom, conv, match = \
@@ -469,17 +543,17 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
         if cfg["normalizer"] != "softmax":
             # softmax is shift-invariant: the bias cotangent is exactly
             # zero there, so skip the per-step global reduce
-            deb_acc += dE.sum().reshape(1, 1)
+            deb_ref[...] += dE.sum().reshape(1, 1)
 
         # ---- energies backward over the recomputed match tensor ------
         dmatch = (dE[:, :, None] * v[None, :, :]
                   * (1.0 - match * match))                   # (B, L, M)
-        dpre_acc += dmatch
-        dv_acc += (match * dE[:, :, None]).sum(axis=(0, 1),
-                                               keepdims=True)[0]
+        dpre_ref[...] += dmatch
+        dv_ref[...] += (match * dE[:, :, None]).sum(axis=(0, 1),
+                                                    keepdims=True)[0]
         dsp = dmatch.sum(axis=1)                             # (B, M)
         dh_prev += _dot(dsp, st, contract=(1, 1))
-        dst_acc += _dot(h_prev, dsp, contract=(0, 0))
+        dst_ref[...] += _dot(h_prev, dsp, contract=(0, 0))
         if cfg["n_filters"]:
             # per-filter rank-1 splits of dmatch; the lane-stacked
             # layouts make dwg/dtoep single matmuls over (B|L, Fc*L)
@@ -493,11 +567,11 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
                         axis=(0, 1), keepdims=True)[0])
             dconv = (dconv_parts[0] if cfg["n_filters"] == 1
                      else jnp.concatenate(dconv_parts, axis=1))
-            dhand_acc += (dhand_rows[0] if cfg["n_filters"] == 1
-                          else jnp.concatenate(dhand_rows, axis=0))
+            dhand_ref[...] += (dhand_rows[0] if cfg["n_filters"] == 1
+                               else jnp.concatenate(dhand_rows, axis=0))
             wg = w_prev * gmask
             dwg = _dot(dconv, toep, contract=(1, 1))
-            dtoep_acc += _dot(wg, dconv, contract=(0, 0))
+            dtoep_ref[...] += _dot(wg, dconv, contract=(0, 0))
             dw_prev = dwg * gmask + dw_keep
         else:
             # content-only attention: weights do not feed the energies
@@ -507,20 +581,6 @@ def _bwd_kernel(*refs, cfg, chunk, steps):
         dw_c = dw_prev
         dwa_c = dwa_keep
 
-    dpre_ref[...] += dpre_acc
-    datt_ref[...] += datt_acc
-    dtoep_ref[...] += dtoep_acc
-    dst_ref[...] += dst_acc
-    dhand_ref[...] += dhand_acc
-    dv_ref[...] += dv_acc
-    deb_ref[...] += deb_acc
-    dwss_ref[...] += dwss_acc
-    dwsg_ref[...] += dwsg_acc
-    ddx_ref[...] += ddx_acc
-    ddg_ref[...] += ddg_acc
-    if stacked:
-        diin_ref[...] += diin_acc
-        digate_ref[...] += digate_acc
     dh_sc[...] = dh_c
     dw_sc[...] = dw_c
     dwa_sc[...] = dwa_c
@@ -570,19 +630,28 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    seq = lambda *d: pl.BlockSpec((C,) + d, lambda t: (t,) + (0,) * len(d))
-    const = lambda *d: pl.BlockSpec(d, lambda t: (0,) * len(d))
+    # batch blocking: grid = (B // BB, T chunks), batch-major so each
+    # batch block runs its full time recurrence before the next starts
+    # (TPU grids iterate the last dimension fastest)
+    BB = pick_batch_block(B, T, L, M, D, NS, Fh, _fwd_bytes) or B
+    seq = lambda *d: pl.BlockSpec((C, BB) + d[1:],
+                                  lambda b, t: (t, b) + (0,) * (len(d) - 1))
+    const = lambda *d: pl.BlockSpec(d, lambda b, t: (0,) * len(d))
+    perb = lambda *d: pl.BlockSpec((BB,) + d[1:],
+                                   lambda b, t: (b,) + (0,) * (len(d) - 1))
     e0 = jnp.zeros((B, L), jnp.float32)
     in_specs = [
         seq(B, NS),                  # fx (lane-stacked layers)
         seq(B, 2 * NS),              # fg
-        pl.BlockSpec((C, 1, B), lambda t: (t, 0, 0)),   # mask
-        pl.BlockSpec((C, 1, 1), lambda t: (t, 0, 0)),   # step0
-        const(B, L, M),              # pre
-        const(B, L, D),              # attended
-        const(B, L),                 # amask
-        const(1, B, NS), const(1, B, L), const(1, B, D),
-        const(1, B, L),              # e0
+        pl.BlockSpec((C, BB, 1), lambda b, t: (t, b, 0)),   # mask
+        pl.BlockSpec((C, 1, 1), lambda b, t: (t, 0, 0)),    # step0
+        perb(B, L, M),               # pre
+        perb(B, L, D),               # attended
+        perb(B, L),                  # amask
+        pl.BlockSpec((1, BB, NS), lambda b, t: (0, b, 0)),  # h0
+        pl.BlockSpec((1, BB, L), lambda b, t: (0, b, 0)),   # w0
+        pl.BlockSpec((1, BB, D), lambda b, t: (0, b, 0)),   # wa0
+        pl.BlockSpec((1, BB, L), lambda b, t: (0, b, 0)),   # e0
         const(L, Fh * L),            # toep (filter-major lanes)
         const(L, L),                 # tri
         const(NS, M),                # state_trans (row-stacked)
@@ -591,7 +660,7 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
         const(S, NS), const(S, 2 * NS),     # wss / wsg (lane-stacked)
         const(D, NS), const(D, 2 * NS),     # dxm / dgm
     ]
-    operands = [fx_p, fg_p, mask_p.reshape(T_pad, 1, B),
+    operands = [fx_p, fg_p, mask_p.reshape(T_pad, B, 1),
                 step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
                 pre, attended, amask,
                 h0[None], w0[None], wa0[None], e0[None], toep, tri, st,
@@ -602,17 +671,17 @@ def _decoder_scan_fwd(cfgk, interpret, fx, fg, mask, step0, pre,
         operands += [iin, igate]
     outs = pl.pallas_call(
         kernel,
-        grid=(T_pad // C,),
+        grid=(B // BB, T_pad // C),
         in_specs=in_specs,
         out_specs=(seq(B, NS), seq(B, L), seq(B, D), seq(B, L),
                    seq(B, NS), seq(B, NS), seq(B, NS)),
         out_shape=tuple(
             jax.ShapeDtypeStruct((T_pad, B, d), jnp.float32)
             for d in (NS, L, D, L, NS, NS, NS)),
-        scratch_shapes=[pltpu.VMEM((B, NS), jnp.float32),
-                        pltpu.VMEM((B, L), jnp.float32),
-                        pltpu.VMEM((B, D), jnp.float32),
-                        pltpu.VMEM((B, L), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((BB, NS), jnp.float32),
+                        pltpu.VMEM((BB, L), jnp.float32),
+                        pltpu.VMEM((BB, D), jnp.float32),
+                        pltpu.VMEM((BB, L), jnp.float32)]
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
@@ -659,18 +728,22 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    rev = lambda *d: pl.BlockSpec((C,) + d,
-                                  lambda t: (Tc - 1 - t,) + (0,) * len(d))
-    const = lambda *d: pl.BlockSpec(d, lambda t: (0,) * len(d))
+    BB = pick_batch_block(B, T, L, M, D, NS, Fh, _bwd_bytes) or B
+    rev = lambda *d: pl.BlockSpec(
+        (C, BB) + d[1:],
+        lambda b, t: (Tc - 1 - t, b) + (0,) * (len(d) - 1))
+    const = lambda *d: pl.BlockSpec(d, lambda b, t: (0,) * len(d))
+    perb = lambda *d: pl.BlockSpec(
+        (BB,) + d[1:], lambda b, t: (b,) + (0,) * (len(d) - 1))
     f32 = jnp.float32
     in_specs = [
         rev(B, NS), rev(B, L), rev(B, D),          # cotangents
         rev(B, NS), rev(B, L),                     # prev h/w
         rev(B, NS), rev(B, L), rev(B, D),          # h/w/wa
         rev(B, NS), rev(B, NS), rev(B, NS),        # u r cand
-        pl.BlockSpec((C, 1, B), lambda t: (Tc - 1 - t, 0, 0)),
-        pl.BlockSpec((C, 1, 1), lambda t: (Tc - 1 - t, 0, 0)),
-        const(B, L, M), const(B, L, D), const(B, L),
+        pl.BlockSpec((C, BB, 1), lambda b, t: (Tc - 1 - t, b, 0)),
+        pl.BlockSpec((C, 1, 1), lambda b, t: (Tc - 1 - t, 0, 0)),
+        perb(B, L, M), perb(B, L, D), perb(B, L),
         const(L, Fh * L),                          # toep
         const(L, L),                               # tri
         const(NS, M), const(Fh, M), const(1, M),
@@ -679,7 +752,7 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
         const(D, NS), const(D, 2 * NS),
     ]
     operands = [dhs, dws, dwas, hprev, wprev, hs, ws, was, us, rs, cs,
-                mask_p.reshape(T_pad, 1, B),
+                mask_p.reshape(T_pad, B, 1),
                 step0_p.reshape(T_pad, 1, 1).astype(jnp.int32),
                 pre, attended, amask, toep, tri, st,
                 hand.reshape(Fh, M), v.reshape(1, M),
@@ -688,9 +761,9 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
         in_specs += [const(S, (N - 1) * S), const(S, (N - 1) * 2 * S)]
         operands += [iin, igate]
     out_specs = [rev(B, NS), rev(B, 2 * NS),
-                 pl.BlockSpec((B, NS), lambda t: (0, 0)),
-                 pl.BlockSpec((B, D), lambda t: (0, 0)),
-                 const(B, L, M), const(B, L, D), const(L, Fh * L),
+                 pl.BlockSpec((BB, NS), lambda b, t: (b, 0)),
+                 pl.BlockSpec((BB, D), lambda b, t: (b, 0)),
+                 perb(B, L, M), perb(B, L, D), const(L, Fh * L),
                  const(NS, M), const(Fh, M), const(1, M),
                  const(1, 1),
                  const(S, NS), const(S, 2 * NS),
@@ -720,13 +793,13 @@ def _decoder_scan_bwd(cfgk, interpret, res, cts):
             jax.ShapeDtypeStruct((S, (N - 1) * 2 * S), f32)]
     outs = pl.pallas_call(
         kernel,
-        grid=(Tc,),
+        grid=(B // BB, Tc),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((B, NS), f32),
-                        pltpu.VMEM((B, L), f32),
-                        pltpu.VMEM((B, D), f32)]
+        scratch_shapes=[pltpu.VMEM((BB, NS), f32),
+                        pltpu.VMEM((BB, L), f32),
+                        pltpu.VMEM((BB, D), f32)]
         if _HAS_PLTPU else [],
         interpret=interpret,
         **kwargs,
