@@ -254,6 +254,10 @@ class BeamSearch:
     LOOP_VMEM_BUDGET = 64 << 20
     # dense LM tables ((1 + 2K)*S*V floats) beyond this use the XLA path
     LM_TABLE_BUDGET = 24 << 20
+    # in-kernel LM fusion is compile-bound past a few hundred states
+    # (see _lm_packed); bigger graphs take the XLA decode loop
+    LM_KERNEL_MAX_STATES = int(os.environ.get(
+        "LVSR_LM_KERNEL_MAX_STATES", "256"))
     MAX_LOOP_BEAM = 512
 
     def _lm_packed(self):
@@ -271,6 +275,13 @@ class BeamSearch:
         if K_arc > 8:
             return None
         if (1 + 2 * K_arc) * S_lm * V * 4 > self.LM_TABLE_BUDGET:
+            return None
+        # Mosaic compile time grows super-linearly with the dense state
+        # count (measured on v5e: 58 states fine, 242 ~2 min, >=507 never
+        # finished in 10 min — the (R*M, S_lm) one-hot gather matmuls and
+        # the (R, M, S_lm) dedup iotas blow up the scheduler).  Graphs
+        # past this bound decode on the XLA path's direct lookups.
+        if S_lm > self.LM_KERNEL_MAX_STATES:
             return None
         # the kernel's exp-domain tables are exp(-(total_weight - tau)):
         # a weight spread past f32's exp range (~88 nats) would silently

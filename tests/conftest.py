@@ -10,15 +10,22 @@ has no multi-node tests; we add them on a virtual mesh).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# LVSR_TEST_PLATFORM=tpu keeps the ambient (real-chip) platform so the
+# on-chip kernel gate (test_tpu_gate.py, ``-m tpu``) can Mosaic-compile
+# for real; everything else runs on the virtual CPU mesh.
+_ON_CHIP = os.environ.get("LVSR_TEST_PLATFORM") == "tpu"
+
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache (the Theano compiledir role): the quick
 # gate is compile-bound on a 1-CPU box, and most tests recompile the same

@@ -433,6 +433,23 @@ ngram 1=7
     assert out["done_valid"].any()
 
 
+def test_large_dense_lm_routes_to_xla_path(monkeypatch):
+    """Dense graphs past LM_KERNEL_MAX_STATES must decode on the XLA
+    path: the in-kernel fusion's Mosaic compile never finished at the
+    1058-state bench trigram on the real chip (r3 finding #2), so the
+    state count is a routing input, not just the table-byte budget."""
+    from attention_lvcsr_tpu.search.beam import BeamSearch
+    lm_path = _lm_files()
+    rec = _build_lm("interpret", lm_path, beam=3, seed=13)
+    assert rec._beam_search._loop_kernel_mode() == "interpret"
+    monkeypatch.setattr(BeamSearch, "LM_KERNEL_MAX_STATES", 1)
+    assert rec._beam_search._loop_kernel_mode() is None, \
+        "over-the-state-gate LM must fall back to the XLA decode loop"
+    inputs, mask = _batch()
+    out = rec.beam_search(inputs, mask, as_arrays=True, char_discount=0.1)
+    assert out["done_valid"].any()
+
+
 def test_shipped_config_library_routing():
     """Every shipped experiment config's net section must CLASSIFY
     through the loop-kernel routing without crashing, and the known

@@ -378,7 +378,7 @@ def decode_and_score(recognizer, data, beam_size, search_kwargs,
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--out", default="QUALITY_r04.json")
     ap.add_argument("--work", default=".quality_work")
     ap.add_argument("--fast", action="store_true",
                     help="alias for --tier fast (CI smoke)")
@@ -472,21 +472,22 @@ def main(argv=None):
     base_kwargs = dict(stop_on="patience", round_to_inf=1e9)
     results = {}
 
+    # fast tier caps the wide beam at 20 — the result key records the beam
+    # that actually ran (r3's artifact wrote beam-20 rows under *_beam200)
+    wide_beam = 20 if fast else 200
     rec = driver.create_model(config, data, final_ckpt)
-    for beam in (10, 200):
+    for beam in (10, wide_beam):
         results[f"nolm_beam{beam}"] = decode_and_score(
-            rec, data, 20 if fast and beam > 20 else beam,
-            dict(base_kwargs, char_discount=0.1))
+            rec, data, beam, dict(base_kwargs, char_discount=0.1))
         print("no-LM", results[f"nolm_beam{beam}"])
 
     lm_config = Configuration(cfg_path)
     lm_config["net"]["lm"] = {"path": lm_npz, "weight": 0.5,
                               "no_transition_cost": 20.0}
     rec_lm = driver.create_model(lm_config, data, final_ckpt)
-    for beam in (10, 200):
+    for beam in (10, wide_beam):
         results[f"lm_beam{beam}"] = decode_and_score(
-            rec_lm, data, 20 if fast and beam > 20 else beam,
-            dict(base_kwargs, char_discount=1.0))
+            rec_lm, data, beam, dict(base_kwargs, char_discount=1.0))
         print("LM", results[f"lm_beam{beam}"])
 
     out = {
