@@ -244,8 +244,8 @@ data:
     sort_k_batches: 8
     add_eos: true
     pad_multiple:
-        recordings: 50
-        labels: 10
+        recordings: {pad_rec}
+        labels: {pad_lab}
     pad_batches: true
 net:
     dim_dec: {dim}
@@ -390,7 +390,25 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the checkpoint in --work")
+    ap.add_argument("--epochs", default=None,
+                    help="override 'P,M' pretrain/main epoch counts "
+                         "(the tier default undertrains on hard seeds)")
+    ap.add_argument("--pad", default=None,
+                    help="override 'REC,LAB' pad multiples; through the "
+                         "remote-compile tunnel each distinct padded batch "
+                         "shape costs minutes, so padding everything to one "
+                         "shape (e.g. 250,50) trades ~30%% step FLOPs for "
+                         "one compile per stage")
     args = ap.parse_args(argv)
+
+    # persistent XLA cache: restarts (and the later bench run) skip the
+    # multi-minute tunnel compiles this script pays on first touch
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "LVSR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     os.pardir, ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from attention_lvcsr_tpu.config import Configuration
     from attention_lvcsr_tpu.data import Data
@@ -412,6 +430,9 @@ def main(argv=None):
     (n_train, n_valid, n_test, num_words, (min_len, max_len), feat_dim,
      (frames_lo, frames_hi), noise, batch_size, dim, dims_bidir,
      subsample, (pretrain_epochs, main_epochs)) = SIZES[tier]
+    if args.epochs:
+        pretrain_epochs, main_epochs = (
+            int(x) for x in args.epochs.split(","))
 
     # 1+2: language + ARPA
     words, succ = make_language(rng, num_words=num_words)
@@ -453,11 +474,15 @@ def main(argv=None):
     # 5: train the wsj_paper-shaped model through the multistage driver
     cfg_path = os.path.join(args.work, "config.yaml")
     with open(cfg_path, "w") as f:
+        pad_rec, pad_lab = (50, 10)
+        if args.pad:
+            pad_rec, pad_lab = (int(x) for x in args.pad.split(","))
         f.write(CONFIG_TEMPLATE.format(
             dataset=os.path.abspath(dataset),
             batch_size=batch_size, dim=dim,
             dims_bidir=str(dims_bidir), subsample=str(subsample),
             pretrain_epochs=pretrain_epochs, main_epochs=main_epochs,
+            pad_rec=pad_rec, pad_lab=pad_lab,
         ))
     config = Configuration(cfg_path)
     save_dir = os.path.join(args.work, "model")
