@@ -187,11 +187,13 @@ def _timed(fn, repeats=REPEATS):
     return (statistics.median(times), min(times), max(times))
 
 
-def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False):
+def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False,
+                 batch=None):
     _log(f"bench decode[{label}]: use_pallas={use_pallas} "
          f"dtype={compute_dtype} no_loop_kernel={no_loop_kernel}")
     import jax
     import jax.numpy as jnp
+    BATCH = batch or globals()["BATCH"]
     rec = _recognizer(use_pallas)
     rec.init_beam_search(BEAM, compute_dtype=compute_dtype)
     rng = np.random.RandomState(0)
@@ -225,7 +227,7 @@ def bench_decode(label, use_pallas, compute_dtype, no_loop_kernel=False):
         "wall_s_min": round(lo, 4), "wall_s_max": round(hi, 4),
         "decode_steps": steps,
         "use_pallas": use_pallas, "compute_dtype": compute_dtype or "f32",
-        "loop_kernel": not no_loop_kernel,
+        "loop_kernel": not no_loop_kernel, "batch": BATCH,
     }
 
 
@@ -537,6 +539,16 @@ def main():
                 "best", use_pallas="auto", compute_dtype=None)
     done("decode_best_bf16", bench_decode,
          "best-bf16", use_pallas="auto", compute_dtype="bfloat16")
+    # batch is a free throughput lever for offline decode: B=128 halves
+    # the per-batch fixed costs (dispatch, tables) per utterance
+    # (measured: 401.8 utt/s vs 306 at B=64 — the sequential-chain
+    # floor amortizes, docs/DESIGN.md decode roofline)
+    b128 = done("decode_best_b128", bench_decode,
+                "best-b128", use_pallas="auto", compute_dtype=None,
+                batch=128)
+    if (isinstance(b128, dict) and isinstance(best, dict)
+            and b128.get("utt_per_s", 0) > best.get("utt_per_s", 0)):
+        best = b128                       # headline = best operating point
     done("decode_xla_fallback", bench_decode,
          "xla-fallback", use_pallas="never",
          compute_dtype=None, no_loop_kernel=True)

@@ -367,6 +367,7 @@ def decode_and_score(recognizer, data, beam_size, search_kwargs,
     n = len(examples)
     return {
         "beam": beam_size,
+        "char_discount": search_kwargs.get("char_discount"),
         "cer": round(stats["cer_errors"] / stats["cer_length"], 4),
         "wer": round(stats["wer_errors"] / stats["wer_length"], 4),
         "empty": stats["empty"],
@@ -510,10 +511,22 @@ def main(argv=None):
     lm_config["net"]["lm"] = {"path": lm_npz, "weight": 0.5,
                               "no_transition_cost": 20.0}
     rec_lm = driver.create_model(lm_config, data, final_ckpt)
+    # char_discount is tuned PER LM, as the reference does
+    # (exp/wsj/decode.sh's per-LM override table: 0.1 no-LM, 1.0 for
+    # the WSJ trigram).  WSJ language costs ~2-3 nats/char so a 1.0
+    # discount only offsets the LM's length penalty; this synthetic
+    # language costs ~0.3 nats/char, making a 1.0 discount pay MORE
+    # than an in-language char costs — insertion becomes net-profitable
+    # and hypotheses loop to the length cap (measured: CER 0.64 at
+    # cd=1.0 vs 0.14 at cd=0.1 on the identical model).
     for beam in (10, wide_beam):
         results[f"lm_beam{beam}"] = decode_and_score(
-            rec_lm, data, beam, dict(base_kwargs, char_discount=1.0))
+            rec_lm, data, beam, dict(base_kwargs, char_discount=0.1))
         print("LM", results[f"lm_beam{beam}"])
+    # the mis-scaled operating point is recorded too: it documents WHY
+    # the discount must track the language's per-char cost
+    results["lm_beam10_cd1.0_misscaled"] = decode_and_score(
+        rec_lm, data, 10, dict(base_kwargs, char_discount=1.0))
 
     out = {
         "task": "synthetic-language quality-parity proxy "
