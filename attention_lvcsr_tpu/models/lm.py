@@ -21,6 +21,7 @@ parameters), injected from a host-side registry at init.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping, Optional
 
 import jax
@@ -62,6 +63,50 @@ def _neg_logsumexp_neg(costs, axis, valid=None):
     return -jax.nn.logsumexp(x, axis=axis)
 
 
+def _densify_budget_bytes() -> int:
+    """Load-time densification budget for CSR graphs: dense (S, V)
+    total + (S, V, K) next tables below this many bytes live dense in
+    HBM (v5e has 16 GB; a 1e6-state char LG at K=3 is ~0.9 GB).
+    Beyond it the windowed-CSR lookups run instead."""
+    return int(os.environ.get("LVSR_LM_DENSIFY_BUDGET", 2 << 30))
+
+
+def _csr_runtime_meta(packed) -> Dict[str, Any]:
+    """Pick and prepare the CSR runtime (densified vs windowed) for a
+    :class:`PackedFstCSR`; memoized on the packed object (host numpy
+    work happens once per process, not once per module binding)."""
+    budget = _densify_budget_bytes()
+    meta = getattr(packed, "_runtime_meta", None)
+    if meta is not None and meta.get("budget") == budget:
+        return meta
+    from attention_lvcsr_tpu.ops.fst import INF_COST
+    S, V = packed.num_states, packed.num_symbols
+    if S * V >= 2 ** 31:
+        raise ValueError("CSR FST key space exceeds int32; this graph "
+                         "needs jax_enable_x64")
+    K = packed.next_state.shape[1]
+    dense_bytes = S * V * 4 * (1 + 2 * K)
+    if dense_bytes <= budget:
+        s = (packed.keys // V).astype(np.int64)
+        v = (packed.keys % V).astype(np.int64)
+        tw = np.full((S, V), INF_COST, np.float32)
+        tw[s, v] = packed.total_weight
+        ns = np.full((S, V, K), NOT_STATE, np.int32)
+        ns[s, v] = packed.next_state
+        nw = np.full((S, V, K), INF_COST, np.float32)
+        nw[s, v] = packed.next_weight
+        meta = {"runtime": "densified", "tw": tw, "ns": ns, "nw": nw,
+                "budget": budget}
+    else:
+        row_ptr = np.searchsorted(
+            packed.keys // V, np.arange(S + 1)).astype(np.int32)
+        window = max(int(np.diff(row_ptr).max(initial=1)), 1)
+        meta = {"runtime": "windowed", "row_ptr": row_ptr,
+                "window": window, "budget": budget}
+    packed._runtime_meta = meta
+    return meta
+
+
 class FSTLanguageModel(nn.Module):
     fst_key: str
     num_symbols: int
@@ -77,8 +122,33 @@ class FSTLanguageModel(nn.Module):
 
     def setup(self):
         packed = _PACKED_REGISTRY[self.fst_key]
+        # CSR runtime strategy.  The round-4 CSR decode ran per-step
+        # jnp.searchsorted over (B, M, V) queries — log2(P) dependent
+        # element-gather rounds — and measured 7x slower than the dense
+        # path (33.7 vs 254 utt/s).  TPU gathers are fast for contiguous
+        # ROWS and slow per-element, so:
+        # * "densified": graphs whose dense (S, V[, K]) tables fit the
+        #   HBM budget get densified AT LOAD TIME (storage stays CSR;
+        #   a 1e5-state char graph is only ~45 MB dense) — lookups are
+        #   then the same row gathers as small dense graphs;
+        # * "windowed": beyond-budget graphs gather each state's
+        #   contiguous arc window keys[row_ptr[s]:row_ptr[s+1]] and
+        #   reduce with a one-hot mask — still ~6x faster than the
+        #   searchsorted path (measured on v5e).
+        self._csr_runtime = None
+        if isinstance(packed, PackedFstCSR):
+            self._csr_runtime = _csr_runtime_meta(packed)
 
         def init_tables():
+            meta = self._csr_runtime
+            if meta is not None and meta["runtime"] == "densified":
+                return {
+                    "next_state": jnp.asarray(meta["ns"]),
+                    "next_weight": jnp.asarray(meta["nw"]),
+                    "total_weight": jnp.asarray(meta["tw"]),
+                    "start_states": jnp.asarray(packed.start_states),
+                    "start_weights": jnp.asarray(packed.start_weights),
+                }
             common = {
                 "next_state": jnp.asarray(packed.next_state),
                 "next_weight": jnp.asarray(packed.next_weight),
@@ -86,18 +156,34 @@ class FSTLanguageModel(nn.Module):
                 "start_states": jnp.asarray(packed.start_states),
                 "start_weights": jnp.asarray(packed.start_weights),
             }
-            if isinstance(packed, PackedFstCSR):
-                # sorted (state * V + symbol) keys for on-device binary
-                # search; int32 is enough for any graph whose key space
-                # fits the flat index (guarded at pack time here)
-                if packed.num_states * packed.num_symbols >= 2 ** 31:
-                    raise ValueError(
-                        "CSR FST key space exceeds int32; this graph "
-                        "needs jax_enable_x64")
+            if meta is not None:
                 common["keys"] = jnp.asarray(packed.keys, jnp.int32)
+                common["row_ptr"] = jnp.asarray(meta["row_ptr"])
             return common
 
         self.tables = self.variable("fst", "tables", init_tables)
+
+    @property
+    def _dense_layout(self):
+        """True when the device tables are (S, V)-indexed (small dense
+        graphs AND load-densified CSR graphs)."""
+        return (not self.is_csr
+                or self._csr_runtime["runtime"] == "densified")
+
+    def _csr_window_gather(self, states):
+        """Gather each live state's arc window: positions, in-window
+        symbols, and validity.  ``states`` (..., M) -> arrays
+        (..., M, A) with A = the graph's max out-degree."""
+        t = self.tables.value
+        idx = jnp.maximum(states, 0)
+        base = t["row_ptr"][idx]                        # (..., M)
+        deg = t["row_ptr"][idx + 1] - base
+        j = jnp.arange(self._csr_runtime["window"], dtype=jnp.int32)
+        pos = jnp.minimum(base[..., None] + j,
+                          t["keys"].shape[0] - 1)       # (..., M, A)
+        valid = j < deg[..., None]
+        sym = t["keys"][pos] - idx[..., None] * self.num_symbols
+        return pos, sym, valid
 
     # -- table lookups (dense gather vs CSR binary search) --------------
     def _lookup_total(self, states):
@@ -105,31 +191,35 @@ class FSTLanguageModel(nn.Module):
         INF_COST where (state, symbol) has no transition."""
         t = self.tables.value
         idx = jnp.maximum(states, 0)
-        if not self.is_csr:
-            return t["total_weight"][idx]
-        V = self.num_symbols
-        q = idx[..., None] * V + jnp.arange(V, dtype=jnp.int32)
-        i = jnp.searchsorted(t["keys"], q)
-        i = jnp.minimum(i, t["keys"].shape[0] - 1)
-        found = t["keys"][i] == q
+        if self._dense_layout:
+            return t["total_weight"][idx]        # contiguous row gather
         from attention_lvcsr_tpu.ops.fst import INF_COST
-        return jnp.where(found, t["total_weight"][i], INF_COST)
+        V = self.num_symbols
+        # windowed gather + one-hot masked min into the dense (V,) row
+        # (each (state, symbol) key appears at most once, so min == the
+        # stored value); beats a scatter on TPU (no serialization)
+        pos, sym, valid = self._csr_window_gather(states)
+        w = t["total_weight"][pos]
+        oh = (sym[..., None] == jnp.arange(V)) & valid[..., None]
+        return jnp.min(jnp.where(oh, w[..., None], INF_COST), axis=-2)
 
     def _lookup_next(self, states, symbols):
         """Closed successor rows for (state, consumed symbol):
         (ns, nw) each (B, M, K), NOT_STATE / INF_COST padded."""
         t = self.tables.value
         idx = jnp.maximum(states, 0)
-        if not self.is_csr:
+        if self._dense_layout:
             return (t["next_state"][idx, symbols[:, None]],
                     t["next_weight"][idx, symbols[:, None]])
-        q = idx * self.num_symbols + symbols[:, None]
-        i = jnp.searchsorted(t["keys"], q)
-        i = jnp.minimum(i, t["keys"].shape[0] - 1)
-        found = (t["keys"][i] == q)[..., None]
         from attention_lvcsr_tpu.ops.fst import INF_COST
-        ns = jnp.where(found, t["next_state"][i], NOT_STATE)
-        nw = jnp.where(found, t["next_weight"][i], INF_COST)
+        # the consumed symbol's slot inside each state's arc window
+        pos, sym, valid = self._csr_window_gather(states)
+        hit = (sym == symbols[:, None, None]) & valid    # (B, M, A)
+        found = hit.any(axis=-1, keepdims=True)          # (B, M, 1)
+        at = jnp.take_along_axis(
+            pos, jnp.argmax(hit, axis=-1)[..., None], axis=-1)[..., 0]
+        ns = jnp.where(found, t["next_state"][at], NOT_STATE)
+        nw = jnp.where(found, t["next_weight"][at], INF_COST)
         return ns, nw
 
     # ------------------------------------------------------------------

@@ -125,11 +125,57 @@ def _bench_lm_npz(csr=False):
     return path
 
 
+def _bench_biggraph_npz():
+    """Build (once, disk-cached) a production-scale (>=1e5 states)
+    character decoding graph over the flagship 32-symbol alphabet: a
+    25k-word character-trie lexicon LM with unigram word costs (the
+    reference's ``arpa_lm_to_dict_lm`` + character-lexicon pipeline,
+    ``bin/arpa_lm_to_dict_lm.py``), word ends looping to the root via
+    ``<spc>`` and accepting ``<eol>``.  Packs CSR (S*V is ~30x past the
+    dense cell budget) — this row times the CSR windowed-lookup decode
+    at the graph size the reference's LG_pushed actually has."""
+    from attention_lvcsr_tpu.ops import fst as F
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "lm_biggraph_csr.npz")
+    if os.path.exists(path):
+        return path
+    rng = np.random.RandomState(17)
+    # fst labels: 'a'..'z' -> 1..26 spell words, <spc> -> 27, <eol> -> 32
+    char_syms = {chr(97 + i): i + 1 for i in range(26)}
+    char_syms["<spc>"] = 27
+    eol_lab = 32
+    words = set()
+    while len(words) < 25000:
+        n = int(rng.randint(4, 11))
+        words.add("".join(chr(97 + rng.randint(26)) for _ in range(n)))
+    words = sorted(words)
+    weights = {w: float(2.0 + 6.0 * rng.rand()) for w in words}
+    fst = F.dict_char_lm_fst(words, char_syms, weights=weights)
+    # allow <eol> wherever <spc> is allowed: E-labeled arcs to the root
+    # (the eol_to_spc adapter role, exp/wsj/make_lm_graph.sh)
+    for s in list(fst.arcs):
+        for a in list(fst.state_arcs(s)):
+            if a.ilabel == char_syms["<spc>"]:
+                fst.add_arc(s, eol_lab, eol_lab, a.weight, a.nextstate)
+    # nn ids 0..26 -> labels 1..27; nn id 31 (<eol>) -> label 32
+    remap = {i: i + 1 for i in range(27)}
+    remap[31] = eol_lab
+    packed = F.pack_fst_auto(fst, remap, num_nn_symbols=32,
+                             no_transition_cost=20.0)
+    F.save_packed(path, packed)
+    _log(f"built biggraph LM: {fst.num_states} states, "
+         f"{packed.keys.shape[0]} arc-keys -> {path}")
+    assert fst.num_states >= 100_000, fst.num_states
+    return path
+
+
 COMPILE_BUDGET_S = 120.0
 
 
 def bench_decode_lm(label, beam, use_pallas="auto", csr=False,
-                    repeats=REPEATS):
+                    lm_npz=None, repeats=REPEATS):
     """The north-star operating point: encode + beam decode WITH trigram
     LM shallow fusion (BASELINE.json: utt/s at WER parity is defined at
     this configuration; exp/wsj/decode.sh beams 10..200).
@@ -141,7 +187,10 @@ def bench_decode_lm(label, beam, use_pallas="auto", csr=False,
     _log(f"bench decode-lm[{label}]: beam={beam} csr={csr}")
     import jax
     import jax.numpy as jnp
-    rec = _recognizer(use_pallas, lm_path=_bench_lm_npz(csr=csr))
+    if callable(lm_npz):
+        lm_npz = lm_npz()   # built inside the row's fault isolation
+    rec = _recognizer(use_pallas,
+                      lm_path=lm_npz or _bench_lm_npz(csr=csr))
     rec.init_beam_search(beam)
     mode = None
     if not csr and use_pallas == "auto":
@@ -450,6 +499,10 @@ def bench_frontend(batch=16, seconds=8, repeats=REPEATS):
 
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_partial.json")
+# the committed full-detail artifact (stdout carries only a compact
+# summary line the driver's tail capture can always parse)
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
 
 
 def _wait_for_chip():
@@ -500,10 +553,23 @@ def main():
     # out the whole artifact.
     detail = {}
 
+    def _headline_row():
+        """The best decode operating point measured so far: the row key
+        and row dict with the highest utt/s among the decode_best*
+        candidates (the headline batch is whatever that row ran at)."""
+        key, row = None, None
+        for k in ("decode_best", "decode_best_b128"):
+            r = detail.get(k)
+            if (isinstance(r, dict)
+                    and r.get("utt_per_s", 0) > (
+                        row.get("utt_per_s", 0) if row else 0)):
+                key, row = k, r
+        return key, row
+
     def _flush_partial():
         partial = {"partial": True, "detail": detail}
-        best = detail.get("decode_best")
-        if best and "utt_per_s" in best:
+        key, best = _headline_row()
+        if best:
             partial.update({
                 "metric": ("wsj-shaped utterances/sec/chip, encode + "
                            "beam-10 decode (whole-loop Pallas decode "
@@ -512,6 +578,7 @@ def main():
                 "unit": "utt/s",
                 "vs_baseline": round(
                     best["realtime_factor"] / 100.0, 3),
+                "headline_row": key,
             })
         with open(PARTIAL_PATH, "w") as f:
             json.dump(partial, f, indent=1)
@@ -535,20 +602,17 @@ def main():
         _flush_partial()
         return value
 
-    best = done("decode_best", bench_decode,
-                "best", use_pallas="auto", compute_dtype=None)
+    done("decode_best", bench_decode,
+         "best", use_pallas="auto", compute_dtype=None)
     done("decode_best_bf16", bench_decode,
          "best-bf16", use_pallas="auto", compute_dtype="bfloat16")
     # batch is a free throughput lever for offline decode: B=128 halves
     # the per-batch fixed costs (dispatch, tables) per utterance
-    # (measured: 401.8 utt/s vs 306 at B=64 — the sequential-chain
-    # floor amortizes, docs/DESIGN.md decode roofline)
-    b128 = done("decode_best_b128", bench_decode,
-                "best-b128", use_pallas="auto", compute_dtype=None,
-                batch=128)
-    if (isinstance(b128, dict) and isinstance(best, dict)
-            and b128.get("utt_per_s", 0) > best.get("utt_per_s", 0)):
-        best = b128                       # headline = best operating point
+    # (the sequential-chain floor amortizes, docs/DESIGN.md decode
+    # roofline); the headline is whichever operating point wins
+    done("decode_best_b128", bench_decode,
+         "best-b128", use_pallas="auto", compute_dtype=None,
+         batch=128)
     done("decode_xla_fallback", bench_decode,
          "xla-fallback", use_pallas="never",
          compute_dtype=None, no_loop_kernel=True)
@@ -585,7 +649,7 @@ def main():
     # blowup must not cost the rows above) and honor LVSR_BENCH_NO_LM.
     if os.environ.get("LVSR_BENCH_NO_LM"):
         for key in ("decode_lm_beam10", "decode_lm_beam200",
-                    "decode_lm_beam10_csr"):
+                    "decode_lm_beam10_csr", "decode_lm_beam10_biggraph"):
             done(key, lambda: {"skipped": "LVSR_BENCH_NO_LM"})
     else:
         done("decode_lm_beam10", bench_decode_lm, "beam10", beam=10)
@@ -593,22 +657,57 @@ def main():
              bench_decode_lm, "beam200", beam=200, repeats=3)
         done("decode_lm_beam10_csr",
              bench_decode_lm, "beam10-csr", beam=10, csr=True)
+        # production graph scale (VERDICT r4 #1): >=1e5-state character
+        # decoding graph through the CSR windowed-lookup path
+        done("decode_lm_beam10_biggraph",
+             bench_decode_lm, "beam10-biggraph", beam=10, csr=True,
+             lm_npz=_bench_biggraph_npz)
 
-    headline_ok = isinstance(best, dict) and "utt_per_s" in best
-    print(json.dumps({
+    # Full detail goes to a FILE (BENCH_DETAIL.json); stdout's final
+    # line is a compact summary (<1500 chars) so the driver's bounded
+    # tail capture always parses it (round-4 failure: the inline detail
+    # overflowed the 2000-char tail and the official artifact recorded
+    # parsed=null).
+    key, best = _headline_row()
+    env = {"batch": BATCH, "frames": FRAMES, "beam": BEAM,
+           "platform": jax.devices()[0].platform,
+           "device_kind": jax.devices()[0].device_kind}
+    with open(DETAIL_PATH, "w") as f:
+        json.dump({"detail": detail, "headline_row": key, **env}, f,
+                  indent=1)
+    rows = {}
+    errors = []
+    for k, v in detail.items():
+        if not isinstance(v, dict):
+            continue
+        if "utt_per_s" in v:
+            rows[k] = v["utt_per_s"]
+        elif "pallas_utt_per_s" in v:
+            rows[k] = v["pallas_utt_per_s"]
+        elif "error" in v:
+            errors.append(k)
+    summary = {
         "metric": ("wsj-shaped utterances/sec/chip, encode + beam-10 "
                    "decode (whole-loop Pallas decode kernel)"),
-        "value": best["utt_per_s"] if headline_ok else 0,
+        "value": best["utt_per_s"] if best else 0,
         "unit": "utt/s",
         "vs_baseline": (round(best["realtime_factor"] / 100.0, 3)
-                        if headline_ok else 0),
+                        if best else 0),
         "detail": {
-            **detail,
-            "batch": BATCH, "frames": FRAMES, "beam": BEAM,
-            "platform": jax.devices()[0].platform,
-            "device_kind": jax.devices()[0].device_kind,
+            "headline_row": key,
+            "headline_batch": (best or {}).get("batch"),
+            "rows_utt_per_s": rows,
+            "failed_rows": errors,
+            "detail_file": "BENCH_DETAIL.json",
+            **env,
         },
-    }))
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt and braces: drop rows, keep headline
+        summary["detail"] = {"headline_row": key,
+                             "detail_file": "BENCH_DETAIL.json"}
+        line = json.dumps(summary)
+    print(line)
 
 
 def _summarize_error(exc):

@@ -40,16 +40,26 @@ def bench(monkeypatch):
     return bench_mod
 
 
-def _run_main(bench_mod, capsys):
+def _run_main(bench_mod, capsys, tmp_path):
+    """Run main(); return (compact stdout summary, full detail file).
+
+    The compact final stdout line must stay under the driver's tail
+    capture (VERDICT r4 missing #3); full rows live in DETAIL_PATH.
+    """
     bench_mod.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    return json.loads(out)
+    assert len(out) < 1900, "final stdout line must fit tail capture"
+    with open(tmp_path / "detail.json") as f:
+        detail = json.load(f)["detail"]
+    return json.loads(out), detail
 
 
 def test_failing_batch_curve_row_keeps_artifact(bench, monkeypatch,
                                                 capsys, tmp_path):
     monkeypatch.setattr(bench, "PARTIAL_PATH",
                         str(tmp_path / "partial.json"))
+    monkeypatch.setattr(bench, "DETAIL_PATH",
+                        str(tmp_path / "detail.json"))
 
     real_train = bench.bench_train
 
@@ -61,32 +71,36 @@ def test_failing_batch_curve_row_keeps_artifact(bench, monkeypatch,
         return real_train(compute_dtype, batch=batch)
 
     monkeypatch.setattr(bench, "bench_train", train)
-    out = _run_main(bench, capsys)
+    out, detail = _run_main(bench, capsys, tmp_path)
     assert out["value"] == 100.0, "headline survives a row failure"
-    curve = out["detail"]["train_batch_curve"]
+    curve = detail["train_batch_curve"]
     assert "error" in curve["64"]
     assert curve["64"]["error"]["class"] == "RuntimeError"
     assert any("RESOURCE_EXHAUSTED" in line
                for line in curve["64"]["error"]["key_lines"])
     assert "pipelined_utt_per_s" in curve["128"], \
         "later batch points still run"
-    assert out["detail"]["decode_lm_beam10"]["utt_per_s"] == 100.0, \
+    assert detail["decode_lm_beam10"]["utt_per_s"] == 100.0, \
         "rows after the failure still run"
+    assert out["detail"]["rows_utt_per_s"]["decode_lm_beam10"] == 100.0
 
 
 def test_failing_headline_row_still_prints_json(bench, monkeypatch,
                                                 capsys, tmp_path):
     monkeypatch.setattr(bench, "PARTIAL_PATH",
                         str(tmp_path / "partial.json"))
+    monkeypatch.setattr(bench, "DETAIL_PATH",
+                        str(tmp_path / "detail.json"))
 
     def boom(*a, **k):
         raise ValueError("Mosaic failed to compile")
 
     monkeypatch.setattr(bench, "bench_decode", boom)
-    out = _run_main(bench, capsys)
+    out, detail = _run_main(bench, capsys, tmp_path)
     assert out["value"] == 0
-    assert out["detail"]["decode_best"]["error"]["class"] == "ValueError"
-    assert out["detail"]["train_step"]["pipelined_utt_per_s"] == 50.0
+    assert detail["decode_best"]["error"]["class"] == "ValueError"
+    assert detail["train_step"]["pipelined_utt_per_s"] == 50.0
+    assert "decode_best" in out["detail"]["failed_rows"]
 
 
 def test_summarize_error_extracts_key_lines(bench):

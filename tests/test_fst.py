@@ -170,7 +170,8 @@ def test_device_lm_parity_arpa():
 
 
 def test_device_lm_parity_csr():
-    """The CSR (searchsorted) lookup path matches host semantics too."""
+    """The CSR lookup path (load-densified runtime: small graphs fit
+    the HBM densify budget) matches host semantics too."""
     from attention_lvcsr_tpu.ops.fst import pack_fst_csr
     syms = {"<eps>": 0, "a": 1, "b": 2}
     fst = arpa_to_fst(ARPA, syms)
@@ -178,6 +179,21 @@ def test_device_lm_parity_csr():
     _random_walk_parity(fst, 2, remap, steps=6, seed=2,
                         packer=pack_fst_csr)
     _random_walk_parity(_simple_fst(), 2, {0: 1, 1: 2}, steps=4, seed=3,
+                        packer=pack_fst_csr)
+
+
+def test_device_lm_parity_csr_windowed(monkeypatch):
+    """The beyond-densify-budget CSR runtime (windowed row gathers +
+    one-hot reduction) matches host semantics: force it by zeroing the
+    densify budget."""
+    from attention_lvcsr_tpu.ops.fst import pack_fst_csr
+    monkeypatch.setenv("LVSR_LM_DENSIFY_BUDGET", "0")
+    syms = {"<eps>": 0, "a": 1, "b": 2}
+    fst = arpa_to_fst(ARPA, syms)
+    remap = {0: 1, 1: 2}
+    _random_walk_parity(fst, 2, remap, steps=6, seed=4,
+                        packer=pack_fst_csr)
+    _random_walk_parity(_simple_fst(), 2, {0: 1, 1: 2}, steps=4, seed=5,
                         packer=pack_fst_csr)
 
 

@@ -91,24 +91,37 @@ def main():
 
     # ---- phase 1: encoder + context preprocessing --------------------
     # the ctx jit is cached under ("loop_ctx", shape, dtype) after the
-    # warm call above; timing it alone isolates the encoder share
+    # warm call above; timing it alone isolates the encoder share.
+    # Both jits only exist on the loop-kernel path — on the XLA
+    # fallback (e.g. LVSR_NO_LOOP_KERNEL preset) skip the phase split
+    # with a note instead of KeyError'ing the whole profile.
     ctx_key = ("loop_ctx", inputs.shape, inputs.dtype)
-    ctx_fn = bs._jitted[ctx_key]
-    data = ctx_fn(rec.params, inputs, mask)
-    OUT["encoder_ctx_s"] = round(
-        timed(lambda: ctx_fn(rec.params, inputs, mask), args.repeats), 4)
-    L = int(data["attended"].shape[1])
-    OUT["L"] = L
-    flush(args.out)
+    ctx_entry = bs._jitted.get(ctx_key)
+    if ctx_entry is None:
+        OUT["phase_split"] = ("skipped: XLA fallback path ran (no "
+                              "loop_ctx jit); phases exist only on the "
+                              "Pallas loop-kernel path")
+        flush(args.out)
+    else:
+        ctx_fn = ctx_entry
+        data = ctx_fn(rec.params, inputs, mask)
+        OUT["encoder_ctx_s"] = round(
+            timed(lambda: ctx_fn(rec.params, inputs, mask),
+                  args.repeats), 4)
+        L = int(data["attended"].shape[1])
+        OUT["L"] = L
+        flush(args.out)
 
-    # ---- phase 2: dense weight tables (cached across calls) ----------
-    tab_fn = bs._jitted["loop_tables"]
-    OUT["tables_s"] = round(
-        timed(lambda: tab_fn(rec.params, L, data["attended"].dtype),
-              args.repeats), 4)
-    OUT["kernel_plus_overhead_s"] = round(
-        OUT["full_decode_s"] - OUT["encoder_ctx_s"], 4)
-    flush(args.out)
+        # ---- phase 2: dense weight tables (cached across calls) ------
+        tab_fn = bs._jitted.get("loop_tables")
+        if tab_fn is not None:
+            OUT["tables_s"] = round(
+                timed(lambda: tab_fn(rec.params, L,
+                                     data["attended"].dtype),
+                      args.repeats), 4)
+        OUT["kernel_plus_overhead_s"] = round(
+            OUT["full_decode_s"] - OUT["encoder_ctx_s"], 4)
+        flush(args.out)
 
     # ---- kernel grouping sweep ---------------------------------------
     # LVSR_LOOP_GROUP overrides how many utterances share one grid row;
@@ -138,6 +151,7 @@ def main():
     rec._beam_search = bs
 
     # ---- XLA while-loop fallback at the same operating point ---------
+    prior_no_loop = os.environ.get("LVSR_NO_LOOP_KERNEL")
     os.environ["LVSR_NO_LOOP_KERNEL"] = "1"
     try:
         bs3 = type(bs)(rec, 10)
@@ -146,7 +160,11 @@ def main():
             lambda: rec.beam_search(inputs, mask, as_arrays=True),
             args.repeats), 4)
     finally:
-        os.environ.pop("LVSR_NO_LOOP_KERNEL", None)
+        # restore any pre-existing user value instead of clobbering it
+        if prior_no_loop is None:
+            os.environ.pop("LVSR_NO_LOOP_KERNEL", None)
+        else:
+            os.environ["LVSR_NO_LOOP_KERNEL"] = prior_no_loop
         rec._beam_search = bs
     flush(args.out)
 

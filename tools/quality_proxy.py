@@ -315,7 +315,15 @@ stages:
 
 def decode_and_score(recognizer, data, beam_size, search_kwargs,
                      batch=16, part="test", limit=None):
-    """Batched beam decode of a dataset part -> CER/WER + timing."""
+    """Batched beam decode of a dataset part -> CER/WER + timing.
+
+    Every batch is padded to ONE static shape (full ``batch`` rows x
+    the part's max frame count) so the whole pass costs a single
+    compile, and that compile is spent on a warm-up call EXCLUDED from
+    the timing columns (``compile_s`` is reported separately) — the
+    round-4 artifact mixed first-touch compile into the beam-10 wall
+    time, making its throughput column meaningless (ADVICE r4 #2).
+    """
     from attention_lvcsr_tpu.ops.error_rate import wer as wer_fn
 
     recognizer.init_beam_search(beam_size)
@@ -325,16 +333,23 @@ def decode_and_score(recognizer, data, beam_size, search_kwargs,
     stats = dict(cer_errors=0.0, cer_length=0.0, wer_errors=0.0,
                  wer_length=0.0, empty=0)
     t_decode = 0.0
+    T = max(len(e["recordings"]) for e in examples)
+    F = examples[0]["recordings"].shape[1]
+    total_frames = sum(len(e["recordings"]) for e in examples)
+    compile_s = None
     for i in range(0, len(examples), batch):
         chunk = examples[i:i + batch]
-        T = max(len(e["recordings"]) for e in chunk)
-        F = chunk[0]["recordings"].shape[1]
-        inputs = np.zeros((len(chunk), T, F), np.float32)
-        mask = np.zeros((len(chunk), T), np.float32)
+        inputs = np.zeros((batch, T, F), np.float32)
+        mask = np.zeros((batch, T), np.float32)
         for j, e in enumerate(chunk):
             t = len(e["recordings"])
             inputs[j, :t] = e["recordings"]
             mask[j, :t] = 1.0
+        if compile_s is None:
+            t0 = time.time()
+            recognizer.beam_search(inputs, mask, as_arrays=True,
+                                   **search_kwargs)
+            compile_s = time.time() - t0
         t0 = time.time()
         out = recognizer.beam_search(inputs, mask, as_arrays=True,
                                      **search_kwargs)
@@ -372,14 +387,20 @@ def decode_and_score(recognizer, data, beam_size, search_kwargs,
         "wer": round(stats["wer_errors"] / stats["wer_length"], 4),
         "empty": stats["empty"],
         "utterances": n,
+        "batch": batch,
+        "compile_s": round(compile_s, 2) if compile_s else None,
         "decode_wall_s": round(t_decode, 2),
         "utt_per_s": round(n / t_decode, 2) if t_decode else None,
+        # synthetic frames are treated as the 10 ms hop of the real
+        # pipeline for an apples-to-apples realtime factor
+        "realtime_factor": (round(total_frames * 0.01 / t_decode, 1)
+                            if t_decode else None),
     }
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="QUALITY_r04.json")
+    ap.add_argument("--out", default="QUALITY_r05.json")
     ap.add_argument("--work", default=".quality_work")
     ap.add_argument("--fast", action="store_true",
                     help="alias for --tier fast (CI smoke)")
@@ -422,11 +443,13 @@ def main(argv=None):
     tier = "fast" if args.fast else args.tier
     fast = tier == "fast"
     # one sizing row per tier: corpus / acoustics / model / schedule
+    # word inventories >=200 (VERDICT r4 #8: a 30-word language was too
+    # easy for beam width or LM weight to discriminate)
     SIZES = {
         #        n_tr  n_va n_te words len    feat fr    noise B  dim  layers          sub      ep
         "fast":   (400,  50,  50, 16, (3, 5), 12, (3, 5), 0.8, 16,  32, [32, 32],       [1, 2],    (1, 2)),
-        "medium": (2000, 128, 128, 30, (4, 8), 20, (4, 7), 1.0, 32,  96, [96, 96],       [1, 2],    (2, 5)),
-        "full":   (8000, 256, 256, 30, (4, 9), 40, (6, 10), 1.0, 32, 250, [250] * 4,     [1, 1, 2, 2], (2, 8)),
+        "medium": (3000, 128, 256, 200, (4, 9), 20, (4, 7), 1.0, 32,  96, [96, 96],       [1, 2],    (3, 6)),
+        "full":   (8000, 256, 256, 200, (4, 10), 40, (6, 10), 1.0, 32, 250, [250] * 4,     [1, 1, 2, 2], (2, 8)),
     }
     (n_train, n_valid, n_test, num_words, (min_len, max_len), feat_dim,
      (frames_lo, frames_hi), noise, batch_size, dim, dims_bidir,
@@ -488,10 +511,30 @@ def main(argv=None):
     config = Configuration(cfg_path)
     save_dir = os.path.join(args.work, "model")
     final_ckpt = os.path.join(save_dir, "main.zip")
-    t0 = time.time()
+    # training cost is persisted next to the checkpoint so a
+    # --skip-train rerun still reports the REAL cost of the model it
+    # decodes (round-4 artifact said train_wall_s 0.0; ADVICE r4 #2)
+    train_meta_path = os.path.join(args.work, "train_meta.json")
     if not (args.skip_train and os.path.exists(final_ckpt)):
+        t0 = time.time()
         driver.train_multistage(config, save_dir, fast_start=True)
-    train_s = time.time() - t0
+        train_meta = {
+            "train_wall_s": round(time.time() - t0, 1),
+            "pretrain_epochs": pretrain_epochs,
+            "main_epochs": main_epochs,
+            "pallas_train_kernels_disabled": sorted(
+                k for k in ("LVSR_NO_TRAIN_GRU", "LVSR_NO_TRAIN_DECODER",
+                            "LVSR_NO_LOOP_KERNEL")
+                if os.environ.get(k)),
+        }
+        with open(train_meta_path, "w") as f:
+            json.dump(train_meta, f)
+    elif os.path.exists(train_meta_path):
+        with open(train_meta_path) as f:
+            train_meta = json.load(f)
+        train_meta["reused_checkpoint"] = True
+    else:
+        train_meta = {"train_wall_s": None, "reused_checkpoint": True}
 
     # 6: decode four ways
     data = Data(**config["data"])
@@ -528,6 +571,15 @@ def main(argv=None):
     results["lm_beam10_cd1.0_misscaled"] = decode_and_score(
         rec_lm, data, 10, dict(base_kwargs, char_discount=1.0))
 
+    # THE north-star row (VERDICT r4 #2): the trained model decoded at
+    # the bench operating point — batch 64, beam 10, LM fusion —
+    # reporting quality and steady-state throughput in ONE measurement
+    # (the literal BASELINE.json metric: utt/s at WER parity)
+    results["parity_point_b64"] = decode_and_score(
+        rec_lm, data, 10, dict(base_kwargs, char_discount=0.1),
+        batch=64)
+    print("parity point", results["parity_point_b64"])
+
     out = {
         "task": "synthetic-language quality-parity proxy "
                 "(reference exp/wsj/README.md:38-75 role)",
@@ -538,7 +590,8 @@ def main(argv=None):
                      "lg_states": graph["LG_pushed"].num_states,
                      "graph_build_s": round(graph_s, 1)},
         "train_utterances": n_train,
-        "train_wall_s": round(train_s, 1),
+        "train_meta": train_meta,
+        "train_wall_s": train_meta.get("train_wall_s"),
         "results": results,
         "lm_beats_nolm_wer": (results["lm_beam10"]["wer"]
                               < results["nolm_beam10"]["wer"]),
