@@ -838,34 +838,12 @@ class SequenceGenerator(nn.Module):
             t["merge_states_k"] = jnp.concatenate(
                 [self.readout.merge[name](eyeS)
                  for name in self.state_names], axis=0)
-        lm = self.language_model
-        if lm is not None and not lm.is_csr:
-            # dense packed-FST tables for in-kernel shallow fusion
-            # (lvsr/ops.py:124-233 semantics, VMEM-resident).  Kernel
-            # layout: ``exp(-(total_weight - tau))`` so the per-symbol
-            # logsumexp costs become ONE multi-hot matmul (tau keeps
-            # pushed graphs' negative weights inside f32's exp range);
-            # next_state/next_weight k-flattened to (S, K*V) so one
-            # shared one-hot + two matmuls gather every successor
-            # plane; state ids ride as f32.
-            tlm = lm.tables.value
-            f32 = jnp.float32
-            tw = tlm["total_weight"].astype(f32)
-            tau = jnp.minimum(0.0, tw.min())
-            S_lm, V_lm = tw.shape
-            kflat = lambda a: jnp.transpose(
-                a, (0, 2, 1)).reshape(S_lm, -1).astype(f32)
-            t.update({
-                "lm_exp_total": jnp.where(
-                    tw >= 1e29, 0.0, jnp.exp(-(tw - tau))),
-                "lm_tau": tau.reshape(1, 1),
-                "lm_ns_flat": kflat(tlm["next_state"]),
-                "lm_nw_flat": kflat(tlm["next_weight"]),
-                "lm_start_states": tlm["start_states"].astype(
-                    f32).reshape(1, -1),
-                "lm_start_weights": tlm["start_weights"].astype(
-                    f32).reshape(1, -1),
-            })
+        # NOTE: no LM tables here — LM-fused decode always runs on the
+        # XLA path (search/beam.py _search_core) against the
+        # load-densified HBM tables in models/lm.py; the round-2..4
+        # in-kernel fusion was removed (Mosaic compile minutes-to-never
+        # past ~250 states, no measured win below — see
+        # ops/pallas/beam_loop.py module docstring).
         return t
 
     def _fused_score(self, carry, contexts, beam, interpret):

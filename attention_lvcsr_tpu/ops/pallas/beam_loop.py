@@ -26,24 +26,25 @@ conv attention and content-only attention (``n_filters``), logistic /
 relu energy normalizers, states-for-readout, and maxout / relu /
 sigmoid / identity post-merge activations — and INCLUDING
 
-* **FST shallow fusion** (``lm=True``): the reference's north-star
-  operating point decodes with a trigram LM
-  (``exp/wsj/decode.sh:7-26``); here the per-hypothesis live state set
-  (<= ``m_lm`` states + weights, the reference's ``MAX_STATES=7`` bound,
-  lvsr/ops.py:23) rides in VMEM scratch, the dense packed tables
-  (``exp(-(total_weight - tau))`` (S,V) for one-matmul exp-domain
-  logsumexp costs, k-flattened ``next_state``/``next_weight``
-  (S, K*V) so one shared one-hot + two matmuls gather every successor
-  plane) are kernel inputs, per-symbol LM costs and the successor
-  merge (dedup by logsumexp + best-M) are computed inside the loop, and
-  the ``ShallowFusionReadout`` combination
-  (lvsr/bricks/language_models.py:74-104) folds them into the ranking.
-  Graphs whose dense tables exceed the VMEM budget use the XLA path
-  with CSR tables instead (``ops/fst.py``).
 * **wide beams** (reference decode.sh uses up to 200): the top-k /
   done-merge selection rounds roll into ``lax.fori_loop`` above 32
   slots (unrolled below), and the (G,K,L,M) attention-match tensor is
   computed in static L-chunks when it exceeds the VMEM budget.
+
+FST shallow fusion is deliberately NOT in this kernel.  Rounds 2–4
+carried an in-kernel LM (live state set in VMEM scratch, one-hot
+matmul table gathers): its Mosaic compile grew super-linearly with the
+state count (2 min at 242 states, never finished at >=507; round-5
+remeasurement: >9.5 min cold at 242 states through the tunnel), so it
+was gated to <=256-state graphs — below every real decoding graph —
+while the XLA decode path with load-densified HBM tables
+(``models/lm.py``) measures the SAME throughput at every graph scale
+(266 utt/s at 1058 states, 282 utt/s at 113k states, v5e beam 10).  A
+path that compiles for minutes, is routed off everywhere that matters,
+and wins nothing where it runs is complexity without evidence — LM
+decode is owned by the XLA route (``search/beam.py _search_core``),
+matching the reference's split (its FST runtime is a 294-line host
+module, lvsr/ops.py).
 
 The XLA path in :mod:`attention_lvcsr_tpu.search.beam` remains for
 everything else and is the semantic reference — this kernel replicates
@@ -61,12 +62,7 @@ Dynamic-structure tricks (no dynamic shapes inside kernels):
 * hypothesis gathers are block-diagonal one-hot permutation matmuls
   (MXU), built from row/column iota comparisons.  Mosaic f32 matmuls
   run in bf16 passes and perturb copied values in the last ulps, so
-  integer-valued gathers (LM state ids) are rounded back to exact ints
-  after the matmul; equality-based selections never consume raw matmul
-  copies;
-* LM candidate lanes are laid out per-successor-slot (k-major) but
-  tie-breaking uses an explicit ``ord = m*K + k`` vector replicating
-  the XLA path's (M,K)->M*K reshape order exactly;
+  equality-based selections never consume raw matmul copies;
 * the done-set merge is the same selection over the per-utterance
   (2K,) adjusted costs, existing entries first (ties keep the old one,
   like the XLA path);
@@ -96,12 +92,11 @@ def _kernel(*refs,
             beam, group, max_len, eol, stop_on, ignore_first_eol,
             char_discount, round_to_inf, prior, before, after,
             initial_begin, initial_end, min_speed, max_speed,
-            l_chunk, lm, m_lm, k_arc, lm_weight, am_beta,
-            norm_am, norm_lm, norm_tot, no_trans,
+            l_chunk,
             normalizer, states_readout, maxout, post_act, n_filters,
             dec_stack, mse_cost):
     n_in = (23 + (2 if dec_stack > 1 else 0)
-            + (1 if states_readout else 0) + (6 if lm else 0))
+            + (1 if states_readout else 0))
     (pre_ref, att_ref, mask_ref,
      toep_ref, tri_ref, st_ref, handler_ref, v_ref,
      merge_ref, mergeb_ref, post_ref, postb_ref,
@@ -115,14 +110,9 @@ def _kernel(*refs,
     if states_readout:
         ms_ref = refs[nxt]
         nxt += 1
-    if lm:
-        (lmexp_ref, lmnsf_ref, lmnwf_ref, lmtau_ref,
-         lmss_ref, lmsw_ref) = refs[nxt:nxt + 6]
     (done_out_ref, done_meta_ref, steps_ref) = refs[n_in:n_in + 3]
     (h_sc, w_sc, aout_sc, acost_sc, dout_sc, dcost_sc, dadj_sc,
      dlen_sc) = refs[n_in + 3:n_in + 11]
-    if lm:
-        lms_sc, lmw_sc = refs[n_in + 11:n_in + 13]
 
     f32 = jnp.float32
     K = beam
@@ -181,13 +171,11 @@ def _kernel(*refs,
     def dot(a, b):
         # Precision.HIGHEST is REQUIRED, not a nicety: Mosaic's default
         # f32 matmul is a single bf16 pass (measured on chip: one-hot
-        # copies come back bf16-rounded, 4e-3 relative, and gathered
-        # integer ids are off by up to 256 at 1e5 magnitude — round()
-        # cannot recover them).  Every one-hot gather/permutation in
-        # this kernel would corrupt costs and LM state ids without it;
-        # HIGHEST one-hot copies are bit-exact.  The handful of genuine
-        # compute matmuls here are tiny (R x D-ish), so the extra MXU
-        # passes are noise in this latency-bound kernel.
+        # copies come back bf16-rounded, 4e-3 relative).  Every one-hot
+        # gather/permutation in this kernel would corrupt costs without
+        # it; HIGHEST one-hot copies are bit-exact.  The handful of
+        # genuine compute matmuls here are tiny (R x D-ish), so the
+        # extra MXU passes are noise in this latency-bound kernel.
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
@@ -204,140 +192,6 @@ def _kernel(*refs,
         return jnp.broadcast_to(x.reshape(G, 1, 1),
                                 (G, K, 1)).reshape(R, 1)
 
-    if lm:
-        S_lm = lmexp_ref.shape[0]
-        Mlm = m_lm
-        N_lm = Mlm * k_arc                    # successor candidates/row
-        lm_exp = lmexp_ref[:].astype(f32)     # (S_lm, V) exp(-(t - tau))
-        lm_tau = lmtau_ref[0, 0]
-        lmns_flat = lmnsf_ref[:].astype(f32)  # (S_lm, k_arc*V)
-        lmnw_flat = lmnwf_ref[:].astype(f32)
-        iota_s2 = jax.lax.broadcasted_iota(jnp.int32, (R, S_lm), 1)
-        iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (R, Mlm, S_lm), 2)
-        lane_m = jax.lax.broadcasted_iota(jnp.int32, (R, Mlm), 1)
-        lane_n = jax.lax.broadcasted_iota(jnp.int32, (R, N_lm), 1)
-        # my candidate lane n holds (m = n % Mlm, k = n // Mlm); the XLA
-        # path's flat order is m*k_arc + k — tie-break on ord, not n
-        ord_n = ((lane_n % Mlm) * k_arc + lane_n // Mlm)
-        ordn3 = ord_n[:, :, None]             # (R, N, 1)
-        kv_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (R * Mlm, k_arc * V), 1)
-        # 0/1 block-sum matrix: column j of the (k_arc*V)-wide gather
-        # belongs to successor plane j // V
-        blocksel = (jax.lax.broadcasted_iota(
-            jnp.int32, (k_arc * V, k_arc), 0) // V
-            == jax.lax.broadcasted_iota(
-                jnp.int32, (k_arc * V, k_arc), 1)).astype(f32)
-
-        def lm_costs(states, weights):
-            """FSTCostsOp inside the kernel (models/lm.py:_costs).
-
-            Exp-domain logsumexp: the live set collapses into ONE
-            weighted multi-hot row and the whole -logsumexp over
-            (live slots x target symbols) is a single (R,S)x(S,V)
-            matmul against exp(-(total_weight - tau)).  Needs the
-            per-set weight spread plus arc weights inside f32's exp
-            range (~80 nats) — comfortably true for pushed LG graphs,
-            whose weights are bounded by -log P plus pushing slack."""
-            valid = states >= NOT_STATE + 0.5          # (R, Mlm)
-            wv = jnp.where(valid, weights, BIG)
-            wmin = jnp.min(wv, axis=1, keepdims=True)  # (R, 1)
-            P = jnp.zeros((R, S_lm), f32)
-            csum = jnp.zeros((R, 1), f32)
-            for m in range(Mlm):
-                c = jnp.where(valid[:, m:m + 1],
-                              jnp.exp(jnp.minimum(
-                                  wmin - weights[:, m:m + 1], 0.0)),
-                              0.0)                     # (R, 1)
-                onehot = (iota_s2 == states[:, m:m + 1]
-                          .astype(jnp.int32)).astype(f32)
-                P = P + c * onehot
-                csum = csum + c
-            nxt_exp = dot(P, lm_exp)                   # (R, V)
-            # nxt_total = wmin + tau - log(nxt_exp);
-            # total     = wmin - log(csum);   costs = nxt_total - total
-            # (unreachable targets hit exact exp zeros: the table
-            # stores 0 where total_weight is the 1e30 padding)
-            reachable = (nxt_exp > 0.0) & (csum > 0.0)
-            costs = (jnp.log(jnp.maximum(csum, 1e-38))
-                     - jnp.log(jnp.maximum(nxt_exp, 1e-38)) + lm_tau)
-            return jnp.where(reachable, costs,
-                             jnp.asarray(no_trans, f32))
-
-        def lm_advance(states, weights, symbols):
-            """One FST transition for chosen symbols: gather closed
-            successor slots, merge duplicates by logsumexp, keep best-M
-            (models/lm.py:one_step semantics, ord-exact tie order).
-
-            One shared one-hot and two (R*M,S)x(S,k*V) matmuls fetch
-            every successor plane at once; the chosen symbol's column
-            is selected per k-block by mask + 0/1 block-sum matmul
-            (each output sums exactly one nonzero — exact)."""
-            valid = states >= NOT_STATE + 0.5
-            onehot = (iota_s3 == states[:, :, None]
-                      .astype(jnp.int32)).astype(f32)
-            oh = onehot.reshape(R * Mlm, S_lm)
-            g_ns = dot(oh, lmns_flat)                  # (R*M, k*V)
-            g_nw = dot(oh, lmnw_flat)
-            sym_rm = jnp.broadcast_to(
-                symbols[:, None, :], (R, Mlm, 1)).reshape(R * Mlm, 1)
-            sym_mask = ((kv_iota % V).astype(f32) == sym_rm).astype(f32)
-            ns_sel = dot(g_ns * sym_mask, blocksel)    # (R*M, k_arc)
-            nw_sel = dot(g_nw * sym_mask, blocksel)
-            ns_parts, nw_parts = [], []
-            for k in range(k_arc):
-                # (R*M, 1) -> (R, M): the supported column-split reshape
-                ns_k = jnp.round(ns_sel[:, k:k + 1].reshape(R, Mlm))
-                nw_k = nw_sel[:, k:k + 1].reshape(R, Mlm)
-                ns_k = jnp.where(valid, ns_k, NOT_STATE)
-                nw_k = weights + nw_k
-                ns_parts.append(ns_k)
-                nw_parts.append(nw_k)
-            ns = jnp.concatenate(ns_parts, axis=1)          # (R, N_lm)
-            nw = jnp.concatenate(nw_parts, axis=1)
-            cand_ok = (ns >= NOT_STATE + 0.5) & (nw < 1e29)
-            nw = jnp.where(cand_ok, nw, BIG)
-            # dedup duplicate successor states: logsumexp-merge onto the
-            # lowest-ord occurrence, BIG elsewhere
-            same = (ns[:, :, None] == ns[:, None, :]) \
-                & cand_ok[:, None, :]                       # (R, N, N)
-            nw3 = jnp.broadcast_to(nw[:, None, :], same.shape)
-            mmin = jnp.min(jnp.where(same, nw3, BIG), axis=2)
-            ssum = jnp.sum(
-                jnp.where(same,
-                          jnp.exp(jnp.minimum(mmin[:, :, None] - nw3,
-                                              0.0)),
-                          0.0), axis=2)
-            merged = jnp.where(ssum > 0.0,
-                               mmin - jnp.log(jnp.maximum(ssum, 1e-38)),
-                               BIG)
-            earlier = same & (ord_n[:, None, :] < ordn3)
-            is_first = (jnp.max(earlier.astype(f32), axis=2) == 0.0) \
-                & cand_ok
-            merged = jnp.where(is_first, merged, BIG)
-            # best-M by (weight, ord) — matches lax.top_k(-merged) ties
-            new_s = jnp.full((R, Mlm), NOT_STATE, f32)
-            new_w = jnp.zeros((R, Mlm), f32)
-            work = merged
-            for slot in range(Mlm):
-                m = jnp.min(work, axis=1, keepdims=True)        # (R, 1)
-                tie = jnp.min(jnp.where(work == m, ord_n, N_lm),
-                              axis=1, keepdims=True)            # (R, 1)
-                hit = ord_n == tie                              # (R, N)
-                sel_s = jnp.min(jnp.where(hit, ns, BIG), axis=1,
-                                keepdims=True)
-                work = jnp.where(hit, BIG, work)
-                alive = m < 1e29
-                mine = lane_m == slot
-                new_s = jnp.where(mine & alive, sel_s, new_s)
-                new_w = jnp.where(mine & alive, m, new_w)
-            return new_s, new_w
-
-    def lane_lse(x):
-        """log(sum(exp(x))) over lanes, max-shifted — (R, V) -> (R, 1)."""
-        mx = jnp.max(x, axis=1, keepdims=True)
-        return mx + jnp.log(jnp.sum(jnp.exp(x - mx), axis=1,
-                                    keepdims=True))
 
     # ---- init ------------------------------------------------------------
     rows_dead = (jnp.sum(att_mask, axis=1, keepdims=True) == 0.0)  # (G,1)
@@ -351,9 +205,6 @@ def _kernel(*refs,
     dcost_sc[:] = jnp.full((R, 1), INF, f32)
     dadj_sc[:] = jnp.full((R, 1), INF, f32)
     dlen_sc[:] = jnp.zeros((R, 1), f32)
-    if lm:
-        lms_sc[:] = jnp.broadcast_to(lmss_ref[:].astype(f32), (R, m_lm))
-        lmw_sc[:] = jnp.broadcast_to(lmsw_ref[:].astype(f32), (R, m_lm))
 
     def body(i, carry):
         patience, min_cost, stopped, steps = carry      # (G,1) each
@@ -530,26 +381,11 @@ def _kernel(*refs,
             # task-loss models: readouts are predicted gains, the
             # emitter cost is their negation (RewardRegressionEmitter)
             costs = -logits
-        elif not lm:
+        else:
             lmx = jnp.max(logits, axis=1, keepdims=True)
             lse = lmx + jnp.log(
                 jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
             costs = lse - logits                        # (R, V)
-        else:
-            # ShallowFusionReadout + LMEmitter.costs
-            # (lvsr/bricks/language_models.py:74-104,147-184):
-            # am_beta scales BEFORE the log-softmax; costs = -x
-            am = am_beta * logits
-            if norm_am:
-                am = am - lane_lse(am)
-            lm_add = lm_costs(lms_sc[:], lmw_sc[:])     # (R, V)
-            lmc = -lm_add
-            if norm_lm:
-                lmc = lmc - lane_lse(lmc)
-            x = am + lm_weight * lmc
-            if norm_tot:
-                x = x - lane_lse(x)
-            costs = -x
         if bad_row is not None:
             costs = jnp.where(bad_row, BIG, costs)
 
@@ -596,11 +432,6 @@ def _kernel(*refs,
         w_src = dot(perm, wnew)
         wa_src = dot(perm, wa)
         aout = dot(perm, aout_sc[:])                    # (R, Lout)
-        if lm:
-            # state ids are integers: round off the bf16-pass matmul
-            # perturbation so downstream equality selections stay exact
-            lms_src = jnp.round(dot(perm, lms_sc[:]))   # (R, Mlm)
-            lmw_src = dot(perm, lmw_sc[:])
 
         # ---- record symbol -------------------------------------------
         aout_col = jnp.where(out_cols == i, symbols, aout)
@@ -636,10 +467,6 @@ def _kernel(*refs,
             below = h_parts[-1]
         h_new = (h_parts[0] if dec_stack == 1
                  else jnp.concatenate(h_parts, axis=1))
-
-        # ---- LM advance ----------------------------------------------
-        if lm:
-            lms_new, lmw_new = lm_advance(lms_src, lmw_src, symbols)
 
         # ---- EOS retirement ------------------------------------------
         is_eos = symbols == float(eol)
@@ -699,9 +526,6 @@ def _kernel(*refs,
         dcost_sc[:] = jnp.where(live, dcost_new, dcost_sc[:])
         dlen_sc[:] = jnp.where(live, dlen_new, dlen_sc[:])
         dout_sc[:] = jnp.where(live, dout_new, dout_sc[:])
-        if lm:
-            lms_sc[:] = jnp.where(live, lms_new, lms_sc[:])
-            lmw_sc[:] = jnp.where(live, lmw_new, lmw_sc[:])
 
         return patience, min_cost, stopped, steps
 
@@ -738,7 +562,7 @@ def pick_l_chunk(beam, group, length, match_dim):
                      "ignore_first_eol", "char_discount", "round_to_inf",
                      "prior", "before", "after", "initial_begin",
                      "initial_end", "min_speed", "max_speed", "group",
-                     "lm_fusion", "normalizer", "states_readout",
+                     "normalizer", "states_readout",
                      "maxout", "post_act", "content_attention",
                      "dec_stack", "mse_cost", "interpret"))
 def beam_search_loop(pre, attended, att_mask, tables, *,
@@ -747,7 +571,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
                      round_to_inf=1e9, prior="expanding", before=0.0,
                      after=0.0, initial_begin=0.0, initial_end=1e4,
                      min_speed=0.0, max_speed=0.0, group=16,
-                     lm_fusion=None, normalizer="softmax",
+                     normalizer="softmax",
                      states_readout=False, maxout=0, post_act="tanh",
                      content_attention=False, dec_stack=1,
                      mse_cost=False, interpret=False):
@@ -755,12 +579,7 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
     done_meta (U,K,3) [cost, adjusted, len] f32, steps (U,) int32).
 
     ``tables`` is the dict from
-    ``SequenceGenerator.loop_decode_tables`` (dense weight tables; with
-    ``lm_fusion`` also the packed LM tables ``lm_total``/``lm_ns``/
-    ``lm_nw``/``lm_start_*``).
-    ``lm_fusion``: None, or a hashable fusion spec
-    ``(m_lm, k_arc, lm_weight, am_beta, norm_am, norm_lm, norm_tot,
-    no_transition_cost)`` — the ShallowFusionReadout configuration.
+    ``SequenceGenerator.loop_decode_tables`` (dense weight tables).
     ``group``: utterances decoded together per grid step; the batch is
     padded up to a multiple (padded rows are fully-masked and retire
     immediately).
@@ -787,15 +606,6 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         attended = jnp.concatenate([attended, zeros(attended)])
         att_mask = jnp.concatenate([att_mask, zeros(att_mask)])
 
-    lm = lm_fusion is not None
-    if lm:
-        (m_lm, k_arc, lm_weight, am_beta, norm_am, norm_lm, norm_tot,
-         no_trans) = lm_fusion
-    else:
-        m_lm = k_arc = 1
-        lm_weight = am_beta = no_trans = 0.0
-        norm_am = norm_lm = norm_tot = False
-
     kernel = functools.partial(
         _kernel, beam=K, group=G, max_len=Lout, eol=int(eol),
         stop_on=stop_on, ignore_first_eol=bool(ignore_first_eol),
@@ -806,10 +616,6 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         initial_end=float(initial_end), min_speed=float(min_speed),
         max_speed=float(max_speed),
         l_chunk=pick_l_chunk(K, G, L, M),
-        lm=lm, m_lm=int(m_lm), k_arc=int(k_arc),
-        lm_weight=float(lm_weight), am_beta=float(am_beta),
-        norm_am=bool(norm_am), norm_lm=bool(norm_lm),
-        norm_tot=bool(norm_tot), no_trans=float(no_trans),
         normalizer=str(normalizer), states_readout=bool(states_readout),
         maxout=int(maxout), post_act=str(post_act),
         n_filters=int(n_filt), dec_stack=int(dec_stack),
@@ -878,23 +684,6 @@ def beam_search_loop(pre, attended, att_mask, tables, *,
         pltpu.VMEM((G * K, 1), f32),          # done adjusted
         pltpu.VMEM((G * K, 1), f32),          # done len
     ]
-    if lm:
-        S_lm = tables["lm_exp_total"].shape[0]
-        in_specs += [
-            full(S_lm, V),                  # lm exp(-(total_weight-tau))
-            full(S_lm, int(k_arc) * V),     # lm next_state, k-flattened
-            full(S_lm, int(k_arc) * V),     # lm next_weight, k-flattened
-            full(1, 1),                     # lm tau
-            full(1, int(m_lm)),             # lm start states
-            full(1, int(m_lm)),             # lm start weights
-        ]
-        inputs += [tables["lm_exp_total"], tables["lm_ns_flat"],
-                   tables["lm_nw_flat"], tables["lm_tau"],
-                   tables["lm_start_states"], tables["lm_start_weights"]]
-        scratch_shapes += [
-            pltpu.VMEM((G * K, int(m_lm)), f32),  # lm live states
-            pltpu.VMEM((G * K, int(m_lm)), f32),  # lm live weights
-        ]
 
     done_out, done_meta, steps = pl.pallas_call(
         kernel,

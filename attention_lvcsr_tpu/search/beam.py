@@ -247,74 +247,21 @@ class BeamSearch:
 
     # VMEM budget for the kernel's dominant intermediates: the
     # (G, K, L, M) attention-match tensor (L-chunked by the kernel when
-    # one utterance alone exceeds it), the per-row (R, L) alignment
-    # tensors, and with LM fusion the packed tables + the (R*M, S_lm)
-    # state-gather one-hot.  The group size is chosen to fit; truly
-    # impossible configurations fall back to the XLA path.
+    # one utterance alone exceeds it) and the per-row (R, L) alignment
+    # tensors.  The group size is chosen to fit; truly impossible
+    # configurations fall back to the XLA path.
     LOOP_VMEM_BUDGET = 64 << 20
-    # dense LM tables ((1 + 2K)*S*V floats) beyond this use the XLA path
-    LM_TABLE_BUDGET = 24 << 20
-    # in-kernel LM fusion is compile-bound past a few hundred states
-    # (see _lm_packed); bigger graphs take the XLA decode loop
-    LM_KERNEL_MAX_STATES = int(os.environ.get(
-        "LVSR_LM_KERNEL_MAX_STATES", "256"))
     MAX_LOOP_BEAM = 512
 
-    def _lm_packed(self):
-        """The dense packed FST when in-kernel fusion is possible for
-        this net's ``lm`` config, else None."""
-        lm = dict(self.net.lm) if getattr(self.net, "lm", None) else {}
-        if not lm.get("path"):
-            return None
-        from attention_lvcsr_tpu.models.lm import get_packed_for_config
-        from attention_lvcsr_tpu.ops.fst import PackedFst
-        packed = get_packed_for_config(lm)
-        if not isinstance(packed, PackedFst):
-            return None  # CSR / not yet built: XLA path
-        S_lm, V, K_arc = packed.next_state.shape
-        if K_arc > 8:
-            return None
-        if (1 + 2 * K_arc) * S_lm * V * 4 > self.LM_TABLE_BUDGET:
-            return None
-        # Mosaic compile time grows super-linearly with the dense state
-        # count (measured on v5e: 58 states fine, 242 ~2 min, >=507 never
-        # finished in 10 min — the (R*M, S_lm) one-hot gather matmuls and
-        # the (R, M, S_lm) dedup iotas blow up the scheduler).  Graphs
-        # past this bound decode on the XLA path's direct lookups.
-        if S_lm > self.LM_KERNEL_MAX_STATES:
-            return None
-        # the kernel's exp-domain tables are exp(-(total_weight - tau)):
-        # a weight spread past f32's exp range (~88 nats) would silently
-        # underflow reachable-but-expensive transitions to "unreachable"
-        # (charged no_transition_cost, possibly CHEAPER than truth) —
-        # such graphs must use the XLA path's direct log-domain lookups
-        tw = np.asarray(packed.total_weight)
-        finite = tw[tw < 1e29]
-        if finite.size and float(finite.max() - finite.min()) > 80.0:
-            return None
-        return packed
-
-    def _loop_bytes(self, attended_len, match_dim, packed_lm):
+    def _loop_bytes(self, attended_len, match_dim):
         """(fixed, per-utterance, per-utterance-unchunkable) VMEM bytes."""
         K, L = self.beam_size, attended_len
         n_filters = int(getattr(self.net, "conv_num_filters", 1) or 1)
         fixed = (1 + n_filters) * L * L * 4
-        lm_per_utt = 0
-        if packed_lm is not None:
-            S_lm, V, K_arc = packed_lm.next_state.shape
-            M_lm = packed_lm.max_states
-            fixed += (1 + 2 * K_arc) * S_lm * V * 4
-            # lm_advance's real working set per beam row: the (M, S_lm)
-            # one-hot, FOUR (M, K_arc*V) gather/mask tensors
-            # (g_ns, g_nw, sym_mask, kv_iota), and THREE
-            # (M*K_arc, M*K_arc) dedup tensors (same/nw3/products)
-            n_cand = M_lm * K_arc
-            lm_per_utt = K * 4 * (
-                M_lm * (S_lm + 4 * K_arc * V) + 3 * n_cand * n_cand)
         # ~8 (R, L) alignment-sized tensors + the per-row (R, Fc*L)
         # convolution stack + the K x K permutations
         per_utt_base = (K * L * 4 * (8 + n_filters)
-                        + K * K * 4 * 3 + lm_per_utt)
+                        + K * K * 4 * 3)
         per_utt = per_utt_base + K * L * match_dim * 4
         return fixed, per_utt, per_utt_base
 
@@ -323,7 +270,7 @@ class BeamSearch:
         if env:
             return max(1, int(env))
         fixed, per_utt, per_utt_base = self._loop_bytes(
-            attended_len, match_dim, self._lm_packed())
+            attended_len, match_dim)
         avail = max(self.LOOP_VMEM_BUDGET - fixed, 0)
         g = avail // max(per_utt, 1)
         if g < 1:
@@ -347,13 +294,13 @@ class BeamSearch:
         if self.beam_size > self.MAX_LOOP_BEAM:
             return None  # selection rounds are O(K) sequential
         lm = dict(net.lm) if net.lm else {}
-        packed_lm = None
         if lm.get("path"):
-            # in-kernel fusion needs small dense tables; big/CSR graphs
-            # decode on the XLA path (searchsorted lookups)
-            packed_lm = self._lm_packed()
-            if packed_lm is None:
-                return None
+            # LM-fused decode always takes the XLA path: its lookups hit
+            # the load-densified HBM tables (models/lm.py) at the same
+            # measured throughput as the no-LM kernel, while the former
+            # in-kernel fusion Mosaic-compiled for minutes-to-never past
+            # ~250 states (see ops/pallas/beam_loop.py docstring)
+            return None
         if num_frames is not None:
             # even with the kernel's L-chunked match tensor, the per-row
             # alignment state of ONE utterance (plus the fixed tables)
@@ -364,8 +311,7 @@ class BeamSearch:
                 subsample *= int(s)
             l_est = -(-int(num_frames) // max(subsample, 1))
             m_est = net.dim_matcher or net.dim_dec
-            fixed, _, per_utt_base = self._loop_bytes(
-                l_est, m_est, packed_lm)
+            fixed, _, per_utt_base = self._loop_bytes(l_est, m_est)
             if fixed + per_utt_base > 1.5 * self.LOOP_VMEM_BUDGET:
                 return None
         crit = dict(net.criterion or {"name": "log_likelihood"})
@@ -465,21 +411,6 @@ class BeamSearch:
         is_content = net.attention_type == "content"
         prior = ({"initial_end": float(L) + 1.0} if is_content
                  else dict(net.prior or {}))
-        lm_fusion = None
-        packed_lm = self._lm_packed()
-        if packed_lm is not None:
-            # the ShallowFusionReadout configuration, passed as a static
-            # fusion spec (models/recognizer.py readout construction)
-            lm = dict(net.lm)
-            lm_fusion = (
-                int(packed_lm.max_states),
-                int(packed_lm.next_state.shape[-1]),
-                float(lm.get("weight", 0.0)),
-                float(lm.get("am_beta", 1.0)),
-                bool(lm.get("normalize_am_weights", True)),
-                bool(lm.get("normalize_lm_weights", False)),
-                bool(lm.get("normalize_tot_weights", False)),
-                float(lm.get("no_transition_cost", 1e12)))
         act = net.post_merge_activation or "tanh"
         maxout = 0
         if act.startswith("maxout"):
@@ -513,7 +444,7 @@ class BeamSearch:
             data["pre"], data["attended"], data["attended_mask"],
             data["tables"], beam=self.beam_size,
             group=self._loop_group(L, int(tables["v"].shape[0])),
-            max_len=max_len, lm_fusion=lm_fusion,
+            max_len=max_len,
             normalizer=("softmax" if is_content
                         else net.energy_normalizer or "softmax"),
             states_readout=bool(net.use_states_for_readout),

@@ -127,8 +127,8 @@ def test_lm_dense_xla_decode(bench_mod):
     rec.init_beam_search(10)
     mode = rec._beam_search._loop_kernel_mode(num_frames=bench_mod.FRAMES)
     assert mode is None, (
-        "1058-state dense LM must decode on the XLA path "
-        f"(LM_KERNEL_MAX_STATES gate), got {mode!r}")
+        "LM-fused decode must route to the XLA path (the in-kernel "
+        f"fusion was removed in round 5), got {mode!r}")
     rng = np.random.RandomState(0)
     inputs = jnp.asarray(rng.randn(8, bench_mod.FRAMES, 123), jnp.float32)
     mask = jnp.ones((8, bench_mod.FRAMES), jnp.float32)
@@ -140,75 +140,26 @@ def test_lm_dense_xla_decode(bench_mod):
         f"dense-XLA LM decode compile {compile_s:.0f}s")
 
 
-def _small_lm_npz(tmp_path_factory):
-    """A <=256-state character trigram over 8 symbols of the flagship
-    alphabet — small enough for in-kernel fusion's compile gate."""
-    from attention_lvcsr_tpu.ops import fst as F
-    rng = np.random.RandomState(3)
-    toks = [f"c{i}" for i in range(7)] + ["E"]
-    uni = {("<s>",): (-99.0, -0.4), ("</s>",): (-1.5, 0.0)}
-    for t in toks:
-        uni[(t,)] = (float(-1.2 - rng.rand()), -0.5)
-    bi = {(a, b): (float(-0.8 - rng.rand()), -0.3)
-          for a in toks for b in toks}
-    tri = {}
-    for a in toks:
-        for b in toks:
-            for c in rng.choice(len(toks), size=2, replace=False):
-                tri[(a, b, toks[c])] = (float(-0.5 - rng.rand()), 0.0)
-    syms = {t: i + 1 for i, t in enumerate(toks)}
-    fst = F.arpa_to_fst({1: uni, 2: bi, 3: tri}, syms)
-    remap = {i: i + 1 for i in range(len(toks))}
-    packed = F.pack_fst(fst, remap, num_nn_symbols=32,
-                        no_transition_cost=20.0)
-    path = str(tmp_path_factory.mktemp("lm") / "small_tri.npz")
-    F.save_packed(path, packed)
-    return path, packed.total_weight.shape[0]
-
-
-def test_lm_in_kernel_fusion_parity(bench_mod, tmp_path_factory):
-    """Small graphs keep in-kernel fusion: it must Mosaic-compile within
-    budget AND agree with the XLA path on the decoded strings — the
-    on-chip parity check the CPU interpret-mode tests cannot provide."""
+def test_lm_biggraph_csr_decode(bench_mod):
+    """Production-scale LM decode gate: the 113k-state character-trie
+    lexicon graph (CSR storage, load-densified HBM tables) must compile
+    within budget and decode on chip — the north-star operating point
+    at real graph size (VERDICT r4 #1)."""
     import jax.numpy as jnp
-    lm_path, n_states = _small_lm_npz(tmp_path_factory)
-    assert n_states <= 256, f"fixture grew to {n_states} states"
-
-    rng = np.random.RandomState(0)
-    inputs = jnp.asarray(rng.randn(4, bench_mod.FRAMES, 123), jnp.float32)
-    mask = jnp.ones((4, bench_mod.FRAMES), jnp.float32)
-
+    lm_path = bench_mod._bench_biggraph_npz()
     rec = bench_mod._recognizer("auto", lm_path=lm_path)
     rec.init_beam_search(10)
     mode = rec._beam_search._loop_kernel_mode(num_frames=bench_mod.FRAMES)
-    assert mode == "compile", (
-        f"{n_states}-state dense LM should fuse in-kernel, got {mode!r}")
+    assert mode is None, f"LM decode must take the XLA path, got {mode!r}"
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(4, bench_mod.FRAMES, 123), jnp.float32)
+    mask = jnp.ones((4, bench_mod.FRAMES), jnp.float32)
     t0 = time.time()
-    out_k = rec.beam_search(inputs, mask, as_arrays=True,
-                            char_discount=1.0)
+    out = rec.beam_search(inputs, mask, as_arrays=True, char_discount=1.0)
     compile_s = time.time() - t0
-    assert compile_s < 420, (
-        f"in-kernel LM fusion compile {compile_s:.0f}s (budget 420s) at "
-        f"{n_states} states — tighten LM_KERNEL_MAX_STATES")
-
-    os.environ["LVSR_NO_LOOP_KERNEL"] = "1"
-    try:
-        rec_x = bench_mod._recognizer("auto", lm_path=lm_path)
-        rec_x.init_beam_search(10)
-        out_x = rec_x.beam_search(inputs, mask, as_arrays=True,
-                                  char_discount=1.0)
-    finally:
-        del os.environ["LVSR_NO_LOOP_KERNEL"]
-
-    def best(out, i):
-        k = int(np.argmin(np.where(out["done_valid"][i],
-                                   out["done_adjusted"][i], np.inf)))
-        n = int(out["done_len"][i, k])
-        return list(np.asarray(out["done_out"][i, k, :n]))
-
-    agree = sum(best(out_k, i) == best(out_x, i) for i in range(4))
-    assert agree >= 3, (
-        f"kernel vs XLA LM decode agree on only {agree}/4 utterances")
+    assert int(out["steps"]) > 0
+    assert compile_s < bench_mod.COMPILE_BUDGET_S + 180, (
+        f"biggraph CSR decode compile {compile_s:.0f}s")
 
 
 # -- fused recurrent cells + frontend ------------------------------------
