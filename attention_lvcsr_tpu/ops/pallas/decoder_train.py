@@ -197,9 +197,12 @@ def _attention_fwd(h, w, pre, att, amask, toep, tri, st, hand, v, e_b,
         conv = None
         conv_term = 0.0
     match = jnp.tanh(pre + sp[:, None, :] + conv_term)      # (B, L, M)
-    B, _, M = match.shape
-    energies = _dot(match.reshape(B * L, M),
-                    v.reshape(M, 1)).reshape(B, L) + e_b
+    # energy matvec as a VPU lane-reduce, NOT reshape(B*L, M) @ (M, 1):
+    # reshaping a *computed* (B, L, M) value across the B/L boundary
+    # sinks Mosaic's compiler (195 s vs 1.3 s for a 4-step toy kernel,
+    # evidence/r05_compile_fix.json) and the MXU wastes 127/128 columns
+    # on a matvec anyway
+    energies = (match * v.reshape(1, 1, -1)).sum(axis=2) + e_b
     normalizer = cfg["normalizer"]
     if normalizer == "softmax":
         masked = jnp.where(gmask > 0, energies, NEG)

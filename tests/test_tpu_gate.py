@@ -85,13 +85,14 @@ def test_decoder_train_fused(bench_mod, batch, frames, labels):
     cost = float(monitors["train_cost"])
     compile_s = time.time() - t0
     assert np.isfinite(cost), f"non-finite train cost {cost}"
-    # cold budget calibrated on the tunneled dev chip: the FIRST
-    # decoder_train compile of a session measured 461 s (2026-08-19,
-    # everything remote-compiled); the hang class this guards against
-    # is >10 min with no completion
-    assert compile_s < 600, (
+    # cold budget calibrated on the tunneled dev chip: after the energy
+    # lane-reduce fix every flagship shape cold-compiles in 31-36 s
+    # (evidence/r05_compile_fix.json; the pre-fix reshape->MXU-matvec
+    # construct cost 461 s).  120 s leaves headroom for a loaded tunnel
+    # while still catching a Mosaic complexity regression.
+    assert compile_s < 120, (
         f"train step B={batch} F={frames} T={labels} took {compile_s:.0f}s "
-        "to compile+run (cold budget 600s)")
+        "to compile+run (cold budget 120s)")
 
 
 # -- whole-loop decode kernel (ops/pallas/beam_loop.py) ------------------
