@@ -73,6 +73,7 @@ Dynamic-structure tricks (no dynamic shapes inside kernels):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +87,14 @@ PATIENCE = 30
 NOT_STATE = -1.0
 # selection rounds unroll below this many slots, fori_loop above
 UNROLL_SLOTS = 32
+
+# Profiling instrument (tools/prof_kernel_phases.py): phase names in this
+# set are replaced at TRACE TIME with shape-preserving stand-ins, so the
+# per-step cost of each phase can be attributed by differencing against
+# the full kernel.  Ablated kernels decode GARBAGE — never set outside
+# the profiler.  Valid names: attention, wa, logits, topk, gather, gru,
+# merge.
+ABLATE: frozenset = frozenset()
 
 
 def _kernel(*refs,
@@ -246,148 +255,170 @@ def _kernel(*refs,
         # ``gmask`` (the energy cut + conv input mask) is window-only;
         # the attention mask enters ``combined`` (the softmax support)
         # only — exactly like the reference/XLA path.
-        att_rows = jnp.broadcast_to(att_mask[:, None, :],
-                                    (G, K, L)).reshape(R, L)
-
-        def broadcast_rows(x_g):                        # (G, L) -> (R, L)
-            return jnp.broadcast_to(x_g[:, None, :],
-                                    (G, K, L)).reshape(R, L)
-
-        if prior == "expanding":
-            step0 = jnp.asarray(i, f32)
-            begin = jnp.maximum(0.0, jnp.minimum(
-                float(L - 1), initial_begin + step0 * min_speed))
-            end = jnp.maximum(0.0, jnp.minimum(
-                float(L), initial_end + step0 * max_speed))
-            begin = jnp.floor(begin)
-            end = jnp.ceil(end)
-            gmask = broadcast_rows(
-                ((pos_g >= begin) & (pos_g < end)).astype(f32))
-            combined = gmask * att_rows
+        # ---- attention phase (window prior + energies + normalize);
+        # skippable as one unit by the phase profiler ---------------
+        if "attention" in ABLATE:
+            wnew, bad_row = w, None            # profiling stand-in
         else:
-            if prior == "window_around_mean":
-                expected = (w * pos_r).sum(axis=1, keepdims=True)
-            else:  # window_around_median
-                cs = dot(w, tri)                        # (R, L)
-                below = (cs < 0.5).astype(f32).sum(axis=1, keepdims=True)
-                expected = jnp.maximum(0.0, below - 1.0)
-            begins = jnp.floor(expected - before)       # (R, 1)
-            ends = jnp.ceil(expected + after)
-            gb = jnp.floor(jnp.maximum(
-                0.0, jnp.min(rows_to_groups(begins.reshape(R, 1)),
-                             axis=1, keepdims=True)))   # (G, 1)
-            ge = jnp.ceil(jnp.minimum(
-                float(L), jnp.max(rows_to_groups(ends.reshape(R, 1)),
-                                  axis=1, keepdims=True)))
-            gmask = broadcast_rows(
-                ((pos_g >= gb) & (pos_g < ge)).astype(f32))
-            additional = ((pos_r > begins) & (pos_r < ends)).astype(f32)
-            combined = gmask * additional * att_rows
+            att_rows = jnp.broadcast_to(att_mask[:, None, :],
+                                        (G, K, L)).reshape(R, L)
 
-        # ---- energies (conv via Toeplitz matmul) ---------------------
-        # The (G, K, Lt, M) match tensor is the kernel's dominant
-        # intermediate; ``l_chunk`` bounds it for wide beams/long audio
-        # (static chunking — concat over lane tiles).
-        # n_filters == 0: content-only attention, no conv term at all
-        conv = (dot(w * gmask, toep) if n_filters    # (R, n_filters*L)
-                else None)
-        sp = dot(h, st)                                 # (R, M)
-        parts = []
-        step_l = l_chunk or L
-        for l0 in range(0, L, step_l):
-            lt = min(step_l, L - l0)
-            # filter_handler's Dense(Fc -> M) as a sum of rank-1 terms
-            # (one per filter) — identical reduction order to the XLA
-            # path's matmul over the filter axis
-            conv_term = 0.0
-            for f in range(n_filters):
-                c = conv[:, f * L + l0:f * L + l0 + lt]
-                conv_term = conv_term + (
-                    c.reshape(G, K, lt, 1)
-                    * handler[f].reshape(1, 1, 1, M))
-            match = jnp.tanh(
-                pre[:, l0:l0 + lt].reshape(G, 1, lt, M)
-                + sp.reshape(G, K, 1, M)
-                + conv_term)
-            parts.append(dot(match.reshape(R * lt, M), v).reshape(R, lt)
-                         + e_bias)
-        energies = (parts[0] if len(parts) == 1
-                    else jnp.concatenate(parts, axis=1))    # (R, L)
+            def broadcast_rows(x_g):                        # (G, L) -> (R, L)
+                return jnp.broadcast_to(x_g[:, None, :],
+                                        (G, K, L)).reshape(R, L)
 
-        # ---- masked normalization (attention.py:_normalize) ----------
-        if normalizer == "softmax":
-            masked = jnp.where(gmask > 0, energies, NEG)
-            mx = jnp.max(masked, axis=1, keepdims=True)
-            mx = jnp.where(mx > NEG / 2, mx, 0.0)
-            unnorm = jnp.exp(energies - mx) * combined
-        elif normalizer == "logistic":
-            unnorm = jax.nn.sigmoid(energies) * combined
-        else:  # relu
-            unnorm = jnp.maximum(energies / 1000.0, 0.0) * combined
-        denom = unnorm.sum(axis=1, keepdims=True) + \
-            (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
-        # relu is the one normalizer whose unnormalized weights can be
-        # all-zero over a nonzero mask (all energies <= 0): the XLA path
-        # divides 0/0 there and the row's NaN candidates simply lose
-        # lax.top_k and are never gathered.  Here NaN would poison the
-        # min-based selection AND the one-hot gather matmuls (0*NaN), so
-        # give such rows zero weights and force their candidates to lose
-        # the selection below — the same observable outcome.
-        if normalizer == "relu":
-            bad_row = denom == 0.0                      # (R, 1)
-            denom = denom + bad_row.astype(f32)
-        else:
-            bad_row = None
-        wnew = unnorm / denom                           # (R, L)
+            if prior == "expanding":
+                step0 = jnp.asarray(i, f32)
+                begin = jnp.maximum(0.0, jnp.minimum(
+                    float(L - 1), initial_begin + step0 * min_speed))
+                end = jnp.maximum(0.0, jnp.minimum(
+                    float(L), initial_end + step0 * max_speed))
+                begin = jnp.floor(begin)
+                end = jnp.ceil(end)
+                gmask = broadcast_rows(
+                    ((pos_g >= begin) & (pos_g < end)).astype(f32))
+                combined = gmask * att_rows
+            else:
+                if prior == "window_around_mean":
+                    expected = (w * pos_r).sum(axis=1, keepdims=True)
+                else:  # window_around_median
+                    cs = dot(w, tri)                        # (R, L)
+                    below = (cs < 0.5).astype(f32).sum(axis=1, keepdims=True)
+                    expected = jnp.maximum(0.0, below - 1.0)
+                begins = jnp.floor(expected - before)       # (R, 1)
+                ends = jnp.ceil(expected + after)
+                gb = jnp.floor(jnp.maximum(
+                    0.0, jnp.min(rows_to_groups(begins.reshape(R, 1)),
+                                 axis=1, keepdims=True)))   # (G, 1)
+                ge = jnp.ceil(jnp.minimum(
+                    float(L), jnp.max(rows_to_groups(ends.reshape(R, 1)),
+                                      axis=1, keepdims=True)))
+                gmask = broadcast_rows(
+                    ((pos_g >= gb) & (pos_g < ge)).astype(f32))
+                additional = ((pos_r > begins) & (pos_r < ends)).astype(f32)
+                combined = gmask * additional * att_rows
+
+            # ---- energies (conv via Toeplitz matmul) ---------------------
+            # The (G, K, Lt, M) match tensor is the kernel's dominant
+            # intermediate; ``l_chunk`` bounds it for wide beams/long audio
+            # (static chunking — concat over lane tiles).
+            # n_filters == 0: content-only attention, no conv term at all
+            conv = (dot(w * gmask, toep) if n_filters    # (R, n_filters*L)
+                    else None)
+            sp = dot(h, st)                                 # (R, M)
+            parts = []
+            step_l = l_chunk or L
+            for l0 in range(0, L, step_l):
+                lt = min(step_l, L - l0)
+                # filter_handler's Dense(Fc -> M) as a sum of rank-1 terms
+                # (one per filter) — identical reduction order to the XLA
+                # path's matmul over the filter axis
+                conv_term = 0.0
+                for f in range(n_filters):
+                    c = conv[:, f * L + l0:f * L + l0 + lt]
+                    conv_term = conv_term + (
+                        c.reshape(G, K, lt, 1)
+                        * handler[f].reshape(1, 1, 1, M))
+                match = jnp.tanh(
+                    pre[:, l0:l0 + lt].reshape(G, 1, lt, M)
+                    + sp.reshape(G, K, 1, M)
+                    + conv_term)
+                # energy matvec as a VPU lane-reduce over M, NOT
+                # reshape(R*lt, M) @ (M, 1): reshaping the computed 4D
+                # match across the lt/M boundary forces a Mosaic
+                # relayout whose compile cost sank the training kernel
+                # (evidence/r05_compile_fix.json), and at HIGHEST
+                # precision the MXU matvec pays 6 bf16 passes over the
+                # kernel's dominant intermediate to use 1/128 of the
+                # array.  The leading (G, K) merge below is layout-free.
+                parts.append(
+                    (match * v.reshape(1, 1, 1, M)).sum(axis=3)
+                    .reshape(R, lt) + e_bias)
+            energies = (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1))    # (R, L)
+
+            # ---- masked normalization (attention.py:_normalize) ----------
+            if normalizer == "softmax":
+                masked = jnp.where(gmask > 0, energies, NEG)
+                mx = jnp.max(masked, axis=1, keepdims=True)
+                mx = jnp.where(mx > NEG / 2, mx, 0.0)
+                unnorm = jnp.exp(energies - mx) * combined
+            elif normalizer == "logistic":
+                unnorm = jax.nn.sigmoid(energies) * combined
+            else:  # relu
+                unnorm = jnp.maximum(energies / 1000.0, 0.0) * combined
+            denom = unnorm.sum(axis=1, keepdims=True) + \
+                (combined.sum(axis=1, keepdims=True) == 0).astype(f32)
+            # relu is the one normalizer whose unnormalized weights can be
+            # all-zero over a nonzero mask (all energies <= 0): the XLA path
+            # divides 0/0 there and the row's NaN candidates simply lose
+            # lax.top_k and are never gathered.  Here NaN would poison the
+            # min-based selection AND the one-hot gather matmuls (0*NaN), so
+            # give such rows zero weights and force their candidates to lose
+            # the selection below — the same observable outcome.
+            if normalizer == "relu":
+                bad_row = denom == 0.0                      # (R, 1)
+                denom = denom + bad_row.astype(f32)
+            else:
+                bad_row = None
+            wnew = unnorm / denom                           # (R, L)
 
         # ---- readout (weighted averages, batched per utterance) ------
         # batched dot keeps each utterance's accumulation order
         # identical to the ungrouped kernel (a block-diagonal matmul
         # would sum over G*L terms and perturb last-ulp rounding)
-        wa = jax.lax.dot_general(
-            wnew.reshape(G, K, L), attended,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST).reshape(R, -1)  # (R, D)
-        merged = dot(wa, merge_k) + merge_b
-        if states_readout:
-            merged = merged + dot(h, merge_s)
-        if maxout:
-            # max over groups of ``maxout`` consecutive units
-            # (Readout._activation): value selection by exact 0/1
-            # matmuls (one nonzero per output), then elementwise max
-            Rm = merged.shape[1]
-            rows_m = jax.lax.broadcasted_iota(
-                jnp.int32, (Rm, Rm // maxout), 0)
-            cols_m = jax.lax.broadcasted_iota(
-                jnp.int32, (Rm, Rm // maxout), 1)
-            piece0 = None
-            for p in range(maxout):
-                sel = (rows_m == cols_m * maxout + p).astype(f32)
-                val = dot(merged, sel)                  # (R, Rm//maxout)
-                piece0 = val if piece0 is None else \
-                    jnp.maximum(piece0, val)
-            act = piece0
-        elif post_act in ("relu", "rectifier"):
-            act = jnp.maximum(merged, 0.0)
-        elif post_act in ("sigmoid", "logistic"):
-            act = jax.nn.sigmoid(merged)
-        elif post_act == "identity":
-            act = merged
+        if "wa" in ABLATE:
+            wa = jnp.broadcast_to(wnew[:, :1],
+                                  (R, attended.shape[-1]))  # stand-in
         else:
-            act = jnp.tanh(merged)
-        logits = dot(act, post_k) + post_b              # (R, V)
-        if mse_cost:
-            # task-loss models: readouts are predicted gains, the
-            # emitter cost is their negation (RewardRegressionEmitter)
-            costs = -logits
+            wa = jax.lax.dot_general(
+                wnew.reshape(G, K, L), attended,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST
+            ).reshape(R, -1)                                 # (R, D)
+        if "logits" in ABLATE:                  # profiling stand-in
+            costs = jnp.broadcast_to(wa[:, :1], (R, V))
         else:
-            lmx = jnp.max(logits, axis=1, keepdims=True)
-            lse = lmx + jnp.log(
-                jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
-            costs = lse - logits                        # (R, V)
-        if bad_row is not None:
-            costs = jnp.where(bad_row, BIG, costs)
+            merged = dot(wa, merge_k) + merge_b
+            if states_readout:
+                merged = merged + dot(h, merge_s)
+            if maxout:
+                # max over groups of ``maxout`` consecutive units
+                # (Readout._activation): value selection by exact 0/1
+                # matmuls (one nonzero per output), then elementwise max
+                Rm = merged.shape[1]
+                rows_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (Rm, Rm // maxout), 0)
+                cols_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (Rm, Rm // maxout), 1)
+                piece0 = None
+                for p in range(maxout):
+                    sel = (rows_m == cols_m * maxout + p).astype(f32)
+                    val = dot(merged, sel)                  # (R, Rm//maxout)
+                    piece0 = val if piece0 is None else \
+                        jnp.maximum(piece0, val)
+                act = piece0
+            elif post_act in ("relu", "rectifier"):
+                act = jnp.maximum(merged, 0.0)
+            elif post_act in ("sigmoid", "logistic"):
+                act = jax.nn.sigmoid(merged)
+            elif post_act == "identity":
+                act = merged
+            else:
+                act = jnp.tanh(merged)
+            logits = dot(act, post_k) + post_b              # (R, V)
+            if mse_cost:
+                # task-loss models: readouts are predicted gains, the
+                # emitter cost is their negation (RewardRegressionEmitter)
+                costs = -logits
+            else:
+                lmx = jnp.max(logits, axis=1, keepdims=True)
+                lse = lmx + jnp.log(
+                    jnp.sum(jnp.exp(logits - lmx), axis=1, keepdims=True))
+                costs = lse - logits                        # (R, V)
+            if bad_row is not None:
+                costs = jnp.where(bad_row, BIG, costs)
 
         # ---- top-k over each utterance's K*V candidates --------------
         # Candidates stay in row space (R, V); per-utterance reductions
@@ -417,21 +448,30 @@ def _kernel(*refs,
 
         sel0 = (alive + costs, jnp.zeros((R, 1), jnp.int32),
                 jnp.zeros((R, 1), f32), jnp.zeros((R, 1), f32))
-        if K <= UNROLL_SLOTS:
-            for slot in range(K):
-                sel0 = sel_round(slot, sel0)
+        if "topk" in ABLATE:                   # profiling stand-in
+            src = jnp.zeros((R, 1), jnp.int32)
+            symbols = jnp.zeros((R, 1), f32)
+            chosen = alive + costs[:, :1]
         else:
-            sel0 = jax.lax.fori_loop(0, K, sel_round, sel0)
-        _, src, symbols, chosen = sel0                  # symbols (R,1) f32
+            if K <= UNROLL_SLOTS:
+                for slot in range(K):
+                    sel0 = sel_round(slot, sel0)
+            else:
+                sel0 = jax.lax.fori_loop(0, K, sel_round, sel0)
+            _, src, symbols, chosen = sel0              # symbols (R,1) f32
 
         # ---- gather by source beam row (block-diag one-hot matmul) ---
-        src_flat = (rows_r // K) * K + src              # (R, R) bcast
-        perm = (cols_r == src_flat).astype(f32)         # (R, R)
-        prev_costs = dot(perm, alive)                   # (R, 1)
-        h_src = dot(perm, h)
-        w_src = dot(perm, wnew)
-        wa_src = dot(perm, wa)
-        aout = dot(perm, aout_sc[:])                    # (R, Lout)
+        if "gather" in ABLATE:                 # profiling stand-in
+            prev_costs, h_src, w_src, wa_src = alive, h, wnew, wa
+            aout = aout_sc[:]
+        else:
+            src_flat = (rows_r // K) * K + src          # (R, R) bcast
+            perm = (cols_r == src_flat).astype(f32)     # (R, R)
+            prev_costs = dot(perm, alive)               # (R, 1)
+            h_src = dot(perm, h)
+            w_src = dot(perm, wnew)
+            wa_src = dot(perm, wa)
+            aout = dot(perm, aout_sc[:])                # (R, Lout)
 
         # ---- record symbol -------------------------------------------
         aout_col = jnp.where(out_cols == i, symbols, aout)
@@ -441,32 +481,35 @@ def _kernel(*refs,
         # ---- GRU advance (stacked layers advance sequentially:
         # layer i>0 adds interlayer projections of the layer below's
         # UPDATED state — generator._compute_states) -------------------
-        fb_onehot = (jax.lax.broadcasted_iota(
-            jnp.int32, (R, embed.shape[0]), 1).astype(f32)
-            == symbols).astype(f32)
-        fb = dot(fb_onehot, embed)                      # (R, F)
-        gate_in = dot(fb, fgate) + fgateb + dot(wa_src, dgate)
-        in_tot = dot(fb, fin) + finb + dot(wa_src, din)
-        h_parts = []
-        below = None
-        for ly in range(dec_stack):            # NOT i — that's the step
-            h_i = h_src[:, ly * S:(ly + 1) * S]
-            gi = gate_in[:, ly * 2 * S:(ly + 1) * 2 * S]
-            ii = in_tot[:, ly * S:(ly + 1) * S]
-            if ly > 0:
-                gi = gi + dot(
-                    below, inter_gate[:, (ly - 1) * 2 * S:ly * 2 * S])
-                ii = ii + dot(below, inter_in[:, (ly - 1) * S:ly * S])
-            gates = jax.nn.sigmoid(
-                dot(h_i, wsg[:, ly * 2 * S:(ly + 1) * 2 * S]) + gi)
-            update = gates[:, :S]
-            reset = gates[:, S:]
-            cand = jnp.tanh(
-                dot(h_i * reset, wss[:, ly * S:(ly + 1) * S]) + ii)
-            h_parts.append(update * cand + (1.0 - update) * h_i)
-            below = h_parts[-1]
-        h_new = (h_parts[0] if dec_stack == 1
-                 else jnp.concatenate(h_parts, axis=1))
+        if "gru" in ABLATE:                 # profiling stand-in
+            h_new = h_src
+        else:
+            fb_onehot = (jax.lax.broadcasted_iota(
+                jnp.int32, (R, embed.shape[0]), 1).astype(f32)
+                == symbols).astype(f32)
+            fb = dot(fb_onehot, embed)                      # (R, F)
+            gate_in = dot(fb, fgate) + fgateb + dot(wa_src, dgate)
+            in_tot = dot(fb, fin) + finb + dot(wa_src, din)
+            h_parts = []
+            below = None
+            for ly in range(dec_stack):            # NOT i — that's the step
+                h_i = h_src[:, ly * S:(ly + 1) * S]
+                gi = gate_in[:, ly * 2 * S:(ly + 1) * 2 * S]
+                ii = in_tot[:, ly * S:(ly + 1) * S]
+                if ly > 0:
+                    gi = gi + dot(
+                        below, inter_gate[:, (ly - 1) * 2 * S:ly * 2 * S])
+                    ii = ii + dot(below, inter_in[:, (ly - 1) * S:ly * S])
+                gates = jax.nn.sigmoid(
+                    dot(h_i, wsg[:, ly * 2 * S:(ly + 1) * 2 * S]) + gi)
+                update = gates[:, :S]
+                reset = gates[:, S:]
+                cand = jnp.tanh(
+                    dot(h_i * reset, wss[:, ly * S:(ly + 1) * S]) + ii)
+                h_parts.append(update * cand + (1.0 - update) * h_i)
+                below = h_parts[-1]
+            h_new = (h_parts[0] if dec_stack == 1
+                     else jnp.concatenate(h_parts, axis=1))
 
         # ---- EOS retirement ------------------------------------------
         is_eos = symbols == float(eol)
@@ -477,44 +520,50 @@ def _kernel(*refs,
         adjusted = chosen - char_discount * (alive_len + 1.0)
         new_adj = jnp.where(finishing, adjusted, INF)
 
-        # ---- done-set merge (2K -> K per utterance, old entries win
-        # ties).  Candidate order: [existing K, new K] per utterance.
-        def merge_round(slot, mrg):
-            workd, pick = mrg
-            m = jnp.min(workd, axis=1, keepdims=True)
-            idx = jnp.min(jnp.where(workd == m, iota_2k, 2 * K),
-                          axis=1, keepdims=True)        # (G,1)
-            workd = jnp.where(iota_2k == idx, BIG, workd)
-            idx_r = per_group(idx.astype(f32)).astype(jnp.int32)
-            pick = jnp.where(slot_r == slot, idx_r, pick)
-            return workd, pick
-
-        mrg0 = (jnp.concatenate(
-            [rows_to_groups(dadj_sc[:]),
-             rows_to_groups(new_adj)], axis=1),          # (G, 2K)
-            jnp.zeros((R, 1), jnp.int32))
-        if K <= UNROLL_SLOTS:
-            for slot in range(K):
-                mrg0 = merge_round(slot, mrg0)
+        if "merge" in ABLATE:               # profiling stand-in
+            dadj_new = jnp.minimum(dadj_sc[:], new_adj)
+            dcost_new = dcost_sc[:]
+            dlen_new = dlen_sc[:]
+            dout_new = dout_sc[:]
         else:
-            mrg0 = jax.lax.fori_loop(0, K, merge_round, mrg0)
-        _, pick = mrg0
-        # flat row in the stacked [done (R); alive (R)] candidate array
-        g_of_row = rows_2r // K
-        pick_flat = jnp.where(pick < K,
-                              g_of_row * K + pick,
-                              R + g_of_row * K + (pick - K))
-        perm2 = (cols_2r == pick_flat).astype(f32)      # (R, 2R)
+            # ---- done-set merge (2K -> K per utterance, old entries win
+            # ties).  Candidate order: [existing K, new K] per utterance.
+            def merge_round(slot, mrg):
+                workd, pick = mrg
+                m = jnp.min(workd, axis=1, keepdims=True)
+                idx = jnp.min(jnp.where(workd == m, iota_2k, 2 * K),
+                              axis=1, keepdims=True)        # (G,1)
+                workd = jnp.where(iota_2k == idx, BIG, workd)
+                idx_r = per_group(idx.astype(f32)).astype(jnp.int32)
+                pick = jnp.where(slot_r == slot, idx_r, pick)
+                return workd, pick
 
-        def merge(done_col, new_col):
-            return dot(perm2, jnp.concatenate([done_col, new_col],
-                                              axis=0))
+            mrg0 = (jnp.concatenate(
+                [rows_to_groups(dadj_sc[:]),
+                 rows_to_groups(new_adj)], axis=1),          # (G, 2K)
+                jnp.zeros((R, 1), jnp.int32))
+            if K <= UNROLL_SLOTS:
+                for slot in range(K):
+                    mrg0 = merge_round(slot, mrg0)
+            else:
+                mrg0 = jax.lax.fori_loop(0, K, merge_round, mrg0)
+            _, pick = mrg0
+            # flat row in the stacked [done (R); alive (R)] candidate array
+            g_of_row = rows_2r // K
+            pick_flat = jnp.where(pick < K,
+                                  g_of_row * K + pick,
+                                  R + g_of_row * K + (pick - K))
+            perm2 = (cols_2r == pick_flat).astype(f32)      # (R, 2R)
 
-        dadj_new = merge(dadj_sc[:], new_adj)
-        dcost_new = merge(dcost_sc[:], chosen)
-        dlen_new = merge(dlen_sc[:],
-                         jnp.full((R, 1), alive_len, f32))
-        dout_new = merge(dout_sc[:], aout_col)
+            def merge(done_col, new_col):
+                return dot(perm2, jnp.concatenate([done_col, new_col],
+                                                  axis=0))
+
+            dadj_new = merge(dadj_sc[:], new_adj)
+            dcost_new = merge(dcost_sc[:], chosen)
+            dlen_new = merge(dlen_sc[:],
+                             jnp.full((R, 1), alive_len, f32))
+            dout_new = merge(dout_sc[:], aout_col)
 
         # ---- commit state (stopped utterances keep everything) -------
         h_sc[:] = jnp.where(live, h_new, h)
@@ -533,7 +582,28 @@ def _kernel(*refs,
               jnp.full((G, 1), 1000.0, f32),
               rows_dead.astype(f32),
               jnp.zeros((G, 1), jnp.int32))
-    _, _, _, steps = jax.lax.fori_loop(0, max_len, body, carry0)
+    if os.environ.get("LVSR_BEAM_NO_EARLY_EXIT"):
+        _, _, _, steps = jax.lax.fori_loop(0, max_len, body, carry0)
+    else:
+        # Early exit: once every utterance in this grid-step's group has
+        # stopped, the remaining (max_len - i) iterations are pure waste
+        # — the body only re-reads scratch and masks all its commits.
+        # Measured on a trained model (steps << max_len) this is the
+        # difference between paying for ~30 steps and paying for 300.
+        # ``stopped`` rides the carry as f32 0/1 (G, 1); the scalar
+        # reduce in the condition is legal Mosaic.
+        def w_cond(c):
+            i = c[0]
+            stopped = c[3]
+            return (i < max_len) & (jnp.min(stopped) < 0.5)
+
+        def w_body(c):
+            i = c[0]
+            return (i + 1,) + body(i, c[1:])
+
+        fin = jax.lax.while_loop(w_cond, w_body,
+                                 (jnp.int32(0),) + carry0)
+        steps = fin[4]
 
     done_out_ref[:] = dout_sc[:].reshape(G, K, Lout).astype(jnp.int32)
     done_meta_ref[:] = jnp.concatenate(
