@@ -21,6 +21,15 @@ def dot(a, b, contract=(1, 0)):
         preferred_element_type=jnp.float32)
 
 
+def mxu_dtype(dtype):
+    """MXU operand dtype for in-kernel dots: bf16 activations keep bf16
+    operands (single-pass MXU issue on a latency-critical recurrence;
+    f32 operands cost ~3 passes); anything else computes in f32.
+    Accumulation is always f32 (``preferred_element_type`` in
+    :func:`dot`)."""
+    return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+
 def pad_time(arr, t_pad):
     """Zero-pad the leading (time) dimension up to ``t_pad``."""
     T = arr.shape[0]

@@ -29,9 +29,11 @@ except Exception:  # pragma: no cover
 
 
 def _kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref, out_ref,
-            h_scratch, *, dim, masked, chunk):
+            h_scratch, *, dim, masked, chunk, mxu_dt):
     # ``chunk`` time steps per grid step (amortizes block fetch +
-    # dispatch overhead, which dominates a 1-step grid)
+    # dispatch overhead, which dominates a 1-step grid); ``mxu_dt``
+    # keeps bf16 activations' matmul operands bf16 (single-pass MXU
+    # issue) with f32 accumulation
     f32 = jnp.float32
     t = pl.program_id(0)
 
@@ -40,18 +42,18 @@ def _kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref, out_ref,
         h_scratch[...] = h0_ref[0].astype(f32)
 
     h = h_scratch[...]                                   # (B, D) f32
-    wsg = wsg_ref[:].astype(f32)
-    wss = wss_ref[:].astype(f32)
+    wsg = wsg_ref[:].astype(mxu_dt)
+    wss = wss_ref[:].astype(mxu_dt)
     for j in range(chunk):
         gates = jax.nn.sigmoid(
-            jax.lax.dot_general(h, wsg,
+            jax.lax.dot_general(h.astype(mxu_dt), wsg,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)
             + g_ref[j].astype(f32))
         update = gates[:, :dim]
         reset = gates[:, dim:]
         cand = jnp.tanh(
-            jax.lax.dot_general(h * reset, wss,
+            jax.lax.dot_general((h * reset).astype(mxu_dt), wss,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)
             + x_ref[j].astype(f32))
@@ -85,8 +87,9 @@ def gru_scan(x_proj, gate_proj, mask, h0, w_state, w_gates,
     gate_proj = pad_time(gate_proj, T_pad)
     mask = pad_time(mask, T_pad)
 
+    from attention_lvcsr_tpu.ops.pallas.common import mxu_dtype
     kernel = functools.partial(_kernel, dim=D, masked=masked,
-                               chunk=C)
+                               chunk=C, mxu_dt=mxu_dtype(x_proj.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -21,6 +21,7 @@ checked against ``jax.grad`` of the XLA scan in
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,8 @@ from jax.experimental import pallas as pl
 from attention_lvcsr_tpu.ops.pallas.common import (HAS_PLTPU as
                                                    _HAS_PLTPU)
 from attention_lvcsr_tpu.ops.pallas.common import dot as _dot
+from attention_lvcsr_tpu.ops.pallas.common import (mxu_dtype as
+                                                   _mxu_dtype)
 from attention_lvcsr_tpu.ops.pallas.common import pad_time as _pad_time
 from attention_lvcsr_tpu.ops.pallas.common import pltpu
 
@@ -39,10 +42,16 @@ from attention_lvcsr_tpu.ops.pallas.common import pltpu
 
 def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
                 out_ref, u_ref, r_ref, c_ref, h_scratch, *, dim,
-                chunk):
+                chunk, mxu_dt):
     # ``chunk`` time steps per grid step: the per-step math is tiny, so
     # grid-step (block fetch + dispatch) overhead dominates a 1-step
     # grid; unrolling C steps inside amortizes it C-fold.
+    #
+    # ``mxu_dt`` is the matmul operand dtype: bf16 inputs keep bf16 MXU
+    # operands (a single-pass MXU issue; f32 operands cost ~3 passes on
+    # the critical recurrence chain), f32 accumulation always
+    # (``preferred_element_type`` in :func:`common.dot`).  The carried
+    # state stays f32 in VMEM either way.
     f32 = jnp.float32
     t = pl.program_id(0)
 
@@ -51,13 +60,15 @@ def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
         h_scratch[...] = h0_ref[0].astype(f32)
 
     h = h_scratch[...]                                   # (B, D)
-    wsg = wsg_ref[:].astype(f32)
-    wss = wss_ref[:].astype(f32)
+    wsg = wsg_ref[:].astype(mxu_dt)
+    wss = wss_ref[:].astype(mxu_dt)
     for j in range(chunk):
-        gates = jax.nn.sigmoid(_dot(h, wsg) + g_ref[j].astype(f32))
+        gates = jax.nn.sigmoid(_dot(h.astype(mxu_dt), wsg)
+                               + g_ref[j].astype(f32))
         update = gates[:, :dim]
         reset = gates[:, dim:]
-        cand = jnp.tanh(_dot(h * reset, wss) + x_ref[j].astype(f32))
+        cand = jnp.tanh(_dot((h * reset).astype(mxu_dt), wss)
+                        + x_ref[j].astype(f32))
         new_h = update * cand + (1.0 - update) * h
         m = m_ref[j, 0].astype(f32).reshape(-1, 1)       # (B, 1)
         new_h = m * new_h + (1.0 - m) * h
@@ -76,7 +87,7 @@ def _fwd_kernel(x_ref, g_ref, m_ref, h0_ref, wss_ref, wsg_ref,
 def _bwd_kernel(dout_ref, u_ref, r_ref, c_ref, hprev_ref, m_ref,
                 wss_ref, wsg_ref,
                 dxin_ref, dxgate_ref, dwss_ref, dwsg_ref, dh0_ref,
-                dh_scratch, *, dim, steps, chunk):
+                dh_scratch, *, dim, steps, chunk, mxu_dt):
     f32 = jnp.float32
     t = pl.program_id(0)      # chunk index, reversed by the BlockSpecs
 
@@ -86,8 +97,8 @@ def _bwd_kernel(dout_ref, u_ref, r_ref, c_ref, hprev_ref, m_ref,
         dwss_ref[...] = jnp.zeros_like(dwss_ref)
         dwsg_ref[...] = jnp.zeros_like(dwsg_ref)
 
-    wss = wss_ref[:].astype(f32)
-    wsg = wsg_ref[:].astype(f32)
+    wss = wss_ref[:].astype(mxu_dt)
+    wsg = wsg_ref[:].astype(mxu_dt)
     dwss = jnp.zeros_like(dwss_ref)
     dwsg = jnp.zeros_like(dwsg_ref)
     dh_prev = dh_scratch[...]
@@ -108,16 +119,20 @@ def _bwd_kernel(dout_ref, u_ref, r_ref, c_ref, hprev_ref, m_ref,
 
         da = dcand * (1.0 - cand * cand)                 # pre-tanh
         dxin_ref[j] = da.astype(dxin_ref.dtype)
-        dhr = _dot(da, wss, contract=(1, 1))             # @ wss.T
-        dwss = dwss + _dot(h_prev * r, da, contract=(0, 0))
+        da_m = da.astype(mxu_dt)
+        dhr = _dot(da_m, wss, contract=(1, 1))           # @ wss.T
+        dwss = dwss + _dot((h_prev * r).astype(mxu_dt), da_m,
+                           contract=(0, 0))
         dh_prev = dh_prev + dhr * r
         dr = dhr * h_prev
 
         gates = jnp.concatenate([u, r], axis=1)
         dg = jnp.concatenate([du, dr], axis=1) * gates * (1.0 - gates)
         dxgate_ref[j] = dg.astype(dxgate_ref.dtype)
-        dh_prev = dh_prev + _dot(dg, wsg, contract=(1, 1))
-        dwsg = dwsg + _dot(h_prev, dg, contract=(0, 0))
+        dg_m = dg.astype(mxu_dt)
+        hp_m = h_prev.astype(mxu_dt)
+        dh_prev = dh_prev + _dot(dg_m, wsg, contract=(1, 1))
+        dwsg = dwsg + _dot(hp_m, dg_m, contract=(0, 0))
 
     dwss_ref[...] += dwss
     dwsg_ref[...] += dwsg
@@ -140,7 +155,12 @@ def _gru_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
     return out
 
 
-CHUNK = 8        # time steps per grid step (amortizes dispatch)
+# Time steps per grid step: amortizes block fetch + grid dispatch
+# across C sequential mini-steps.  8 balances dispatch amortization
+# against in-kernel unroll size (Mosaic compile time grows with the
+# unroll); LVSR_GRU_CHUNK overrides for tuning sweeps
+# (tools/prof_train_kernel.py).
+CHUNK = int(os.environ.get("LVSR_GRU_CHUNK", "8"))
 
 
 
@@ -152,7 +172,8 @@ def _gru_train_fwd(x_proj, gate_proj, mask, h0, w_state, w_gates,
     x_proj = _pad_time(x_proj, T_pad)
     gate_proj = _pad_time(gate_proj, T_pad)
     mask_p = _pad_time(mask, T_pad)
-    kernel = functools.partial(_fwd_kernel, dim=D, chunk=C)
+    kernel = functools.partial(_fwd_kernel, dim=D, chunk=C,
+                               mxu_dt=_mxu_dtype(x_proj.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -193,7 +214,8 @@ def _gru_train_bwd(interpret, res, dstates):
     dstates = _pad_time(dstates, T_pad)
     mask_p = _pad_time(mask, T_pad)
     Tc = T_pad // C
-    kernel = functools.partial(_bwd_kernel, dim=D, steps=Tc, chunk=C)
+    kernel = functools.partial(_bwd_kernel, dim=D, steps=Tc, chunk=C,
+                               mxu_dt=_mxu_dtype(states.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -269,7 +291,7 @@ def _fwd_kernel_bd(xf_ref, gf_ref, mf_ref, xb_ref, gb_ref, mb_ref,
                    wsgb_ref,
                    sf_ref, uf_ref, rf_ref, cf_ref,
                    sb_ref, ub_ref, rb_ref, cb_ref,
-                   hf_sc, hb_sc, *, dim, chunk):
+                   hf_sc, hb_sc, *, dim, chunk, mxu_dt):
     f32 = jnp.float32
     t = pl.program_id(0)
 
@@ -280,17 +302,21 @@ def _fwd_kernel_bd(xf_ref, gf_ref, mf_ref, xb_ref, gb_ref, mb_ref,
 
     hf = hf_sc[...]
     hb = hb_sc[...]
-    wsgf = wsgf_ref[:].astype(f32)
-    wssf = wssf_ref[:].astype(f32)
-    wsgb = wsgb_ref[:].astype(f32)
-    wssb = wssb_ref[:].astype(f32)
+    wsgf = wsgf_ref[:].astype(mxu_dt)
+    wssf = wssf_ref[:].astype(mxu_dt)
+    wsgb = wsgb_ref[:].astype(mxu_dt)
+    wssb = wssb_ref[:].astype(mxu_dt)
     for j in range(chunk):
-        gates_f = jax.nn.sigmoid(_dot(hf, wsgf) + gf_ref[j].astype(f32))
-        gates_b = jax.nn.sigmoid(_dot(hb, wsgb) + gb_ref[j].astype(f32))
+        gates_f = jax.nn.sigmoid(_dot(hf.astype(mxu_dt), wsgf)
+                                 + gf_ref[j].astype(f32))
+        gates_b = jax.nn.sigmoid(_dot(hb.astype(mxu_dt), wsgb)
+                                 + gb_ref[j].astype(f32))
         uf, rf = gates_f[:, :dim], gates_f[:, dim:]
         ub, rb = gates_b[:, :dim], gates_b[:, dim:]
-        cf = jnp.tanh(_dot(hf * rf, wssf) + xf_ref[j].astype(f32))
-        cb = jnp.tanh(_dot(hb * rb, wssb) + xb_ref[j].astype(f32))
+        cf = jnp.tanh(_dot((hf * rf).astype(mxu_dt), wssf)
+                      + xf_ref[j].astype(f32))
+        cb = jnp.tanh(_dot((hb * rb).astype(mxu_dt), wssb)
+                      + xb_ref[j].astype(f32))
         nhf = uf * cf + (1.0 - uf) * hf
         nhb = ub * cb + (1.0 - ub) * hb
         mf = mf_ref[j, 0].astype(f32).reshape(-1, 1)
@@ -316,7 +342,7 @@ def _bwd_kernel_bd(df_ref, uf_ref, rf_ref, cf_ref, hpf_ref, mf_ref,
                    dxf_ref, dgf_ref, dxb_ref, dgb_ref,
                    dwssf_ref, dwsgf_ref, dwssb_ref, dwsgb_ref,
                    dh0f_ref, dh0b_ref, dhf_sc, dhb_sc,
-                   *, dim, steps, chunk):
+                   *, dim, steps, chunk, mxu_dt):
     f32 = jnp.float32
     t = pl.program_id(0)
 
@@ -329,10 +355,10 @@ def _bwd_kernel_bd(df_ref, uf_ref, rf_ref, cf_ref, hpf_ref, mf_ref,
         dwssb_ref[...] = jnp.zeros_like(dwssb_ref)
         dwsgb_ref[...] = jnp.zeros_like(dwsgb_ref)
 
-    wssf = wssf_ref[:].astype(f32)
-    wsgf = wsgf_ref[:].astype(f32)
-    wssb = wssb_ref[:].astype(f32)
-    wsgb = wsgb_ref[:].astype(f32)
+    wssf = wssf_ref[:].astype(mxu_dt)
+    wsgf = wsgf_ref[:].astype(mxu_dt)
+    wssb = wssb_ref[:].astype(mxu_dt)
+    wsgb = wsgb_ref[:].astype(mxu_dt)
     awssf = jnp.zeros_like(dwssf_ref)
     awsgf = jnp.zeros_like(dwsgf_ref)
     awssb = jnp.zeros_like(dwssb_ref)
@@ -348,14 +374,17 @@ def _bwd_kernel_bd(df_ref, uf_ref, rf_ref, cf_ref, hpf_ref, mf_ref,
         dcand = draw * u
         dh_prev = dh_prev + draw * (1.0 - u)
         da = dcand * (1.0 - cand * cand)
-        dhr = _dot(da, wss, contract=(1, 1))
-        dwss_inc = _dot(h_prev * r, da, contract=(0, 0))
+        da_m = da.astype(mxu_dt)
+        dhr = _dot(da_m, wss, contract=(1, 1))
+        dwss_inc = _dot((h_prev * r).astype(mxu_dt), da_m,
+                        contract=(0, 0))
         dh_prev = dh_prev + dhr * r
         dr = dhr * h_prev
         gates = jnp.concatenate([u, r], axis=1)
         dg = jnp.concatenate([du, dr], axis=1) * gates * (1.0 - gates)
-        dh_prev = dh_prev + _dot(dg, wsg, contract=(1, 1))
-        dwsg_inc = _dot(h_prev, dg, contract=(0, 0))
+        dg_m = dg.astype(mxu_dt)
+        dh_prev = dh_prev + _dot(dg_m, wsg, contract=(1, 1))
+        dwsg_inc = _dot(h_prev.astype(mxu_dt), dg_m, contract=(0, 0))
         return dh_prev, da, dg, dwss_inc, dwsg_inc
 
     for j in reversed(range(chunk)):
@@ -406,7 +435,8 @@ def _gru_train_bd_fwd(xf, gf, mf, xb, gb, mb, h0f, h0b, wssf, wsgf,
     T_pad = -(-T // C) * C
     xf_p, gf_p, mf_p = (_pad_time(a, T_pad) for a in (xf, gf, mf))
     xb_p, gb_p, mb_p = (_pad_time(a, T_pad) for a in (xb, gb, mb))
-    kernel = functools.partial(_fwd_kernel_bd, dim=D, chunk=C)
+    kernel = functools.partial(_fwd_kernel_bd, dim=D, chunk=C,
+                               mxu_dt=_mxu_dtype(xf.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -456,7 +486,8 @@ def _gru_train_bd_bwd(interpret, res, cts):
     hpb = jnp.concatenate([h0b[None], sb[:-1]], axis=0)
     dsf_p, dsb_p = _pad_time(dsf, T_pad), _pad_time(dsb, T_pad)
     mf_p, mb_p = _pad_time(mf, T_pad), _pad_time(mb, T_pad)
-    kernel = functools.partial(_bwd_kernel_bd, dim=D, steps=Tc, chunk=C)
+    kernel = functools.partial(_bwd_kernel_bd, dim=D, steps=Tc, chunk=C,
+                               mxu_dt=_mxu_dtype(sf.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

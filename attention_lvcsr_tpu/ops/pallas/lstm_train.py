@@ -22,13 +22,15 @@ from jax.experimental import pallas as pl
 from attention_lvcsr_tpu.ops.pallas.common import (HAS_PLTPU as
                                                    _HAS_PLTPU)
 from attention_lvcsr_tpu.ops.pallas.common import dot as _dot
+from attention_lvcsr_tpu.ops.pallas.common import (mxu_dtype as
+                                                   _mxu_dtype)
 from attention_lvcsr_tpu.ops.pallas.common import pad_time as _pad_time
 from attention_lvcsr_tpu.ops.pallas.common import pltpu
 
 
 def _fwd_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref, pcf_ref,
                 pco_ref, h_out, c_out, i_out, f_out, z_out, o_out,
-                h_sc, c_sc, *, dim, chunk):
+                h_sc, c_sc, *, dim, chunk, mxu_dt):
     f32 = jnp.float32
     D = dim
     t = pl.program_id(0)
@@ -43,9 +45,9 @@ def _fwd_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref, pcf_ref,
     pci = pci_ref[:].astype(f32)              # (1, D) peepholes
     pcf = pcf_ref[:].astype(f32)
     pco = pco_ref[:].astype(f32)
-    w = w_ref[:].astype(f32)
+    w = w_ref[:].astype(mxu_dt)
     for j in range(chunk):
-        acts = _dot(h, w) + x_ref[j].astype(f32)
+        acts = _dot(h.astype(mxu_dt), w) + x_ref[j].astype(f32)
         i = jax.nn.sigmoid(acts[:, :D] + c * pci)
         f = jax.nn.sigmoid(acts[:, D:2 * D] + c * pcf)
         z = jnp.tanh(acts[:, 2 * D:3 * D])
@@ -70,7 +72,8 @@ def _bwd_kernel(dh_ref, dcseq_ref, i_ref, f_ref, z_ref, o_ref,
                 hprev_ref, cprev_ref, m_ref, w_ref,
                 pci_ref, pcf_ref, pco_ref,
                 dx_ref, dw_ref, dpci_ref, dpcf_ref, dpco_ref,
-                dh0_ref, dc0_ref, dh_sc, dc_sc, *, dim, steps, chunk):
+                dh0_ref, dc0_ref, dh_sc, dc_sc, *, dim, steps, chunk,
+                mxu_dt):
     f32 = jnp.float32
     D = dim
     t = pl.program_id(0)
@@ -87,7 +90,7 @@ def _bwd_kernel(dh_ref, dcseq_ref, i_ref, f_ref, z_ref, o_ref,
     pci = pci_ref[:].astype(f32)
     pcf = pcf_ref[:].astype(f32)
     pco = pco_ref[:].astype(f32)
-    w = w_ref[:].astype(f32)
+    w = w_ref[:].astype(mxu_dt)
     dw_acc = jnp.zeros_like(dw_ref)
     dpci_acc = jnp.zeros_like(dpci_ref)
     dpcf_acc = jnp.zeros_like(dpcf_ref)
@@ -127,8 +130,10 @@ def _bwd_kernel(dh_ref, dcseq_ref, i_ref, f_ref, z_ref, o_ref,
         dacts = jnp.concatenate([dacts_i, dacts_f, dacts_z, dacts_o],
                                 axis=1)                  # (B, 4D)
         dx_ref[j] = dacts.astype(dx_ref.dtype)
-        dh_prev = dh_keep + _dot(dacts, w, contract=(1, 1))
-        dw_acc = dw_acc + _dot(h_prev, dacts, contract=(0, 0))
+        dacts_m = dacts.astype(mxu_dt)
+        dh_prev = dh_keep + _dot(dacts_m, w, contract=(1, 1))
+        dw_acc = dw_acc + _dot(h_prev.astype(mxu_dt), dacts_m,
+                               contract=(0, 0))
         dpci_acc = dpci_acc + jnp.sum(dacts_i * c_prev, axis=0,
                                       keepdims=True)
         dpcf_acc = dpcf_acc + jnp.sum(dacts_f * c_prev, axis=0,
@@ -169,7 +174,8 @@ def _lstm_train_fwd(x_proj, mask, h0, c0, w_state, pci, pcf_pco,
     T_pad = -(-T // C) * C
     x_proj = _pad_time(x_proj, T_pad)
     mask_p = _pad_time(mask, T_pad)
-    kernel = functools.partial(_fwd_kernel, dim=D, chunk=C)
+    kernel = functools.partial(_fwd_kernel, dim=D, chunk=C,
+                               mxu_dt=_mxu_dtype(x_proj.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -219,7 +225,8 @@ def _lstm_train_bwd(interpret, res, cts):
     mask_p = _pad_time(mask, T_pad)
     hprev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     cprev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
-    kernel = functools.partial(_bwd_kernel, dim=D, steps=Tc, chunk=C)
+    kernel = functools.partial(_bwd_kernel, dim=D, steps=Tc, chunk=C,
+                               mxu_dt=_mxu_dtype(hs.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -277,7 +284,7 @@ _lstm_train.defvjp(_lstm_train_fwd, _lstm_train_bwd)
 
 def _fwd_only_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref,
                      pcf_ref, pco_ref, h_out, c_out, h_sc, c_sc, *,
-                     dim, chunk):
+                     dim, chunk, mxu_dt):
     # inference sibling of _fwd_kernel: identical recurrence, but no
     # gate residuals streamed to HBM (2 instead of 6 (T,B,D) outputs)
     f32 = jnp.float32
@@ -294,9 +301,9 @@ def _fwd_only_kernel(x_ref, m_ref, h0_ref, c0_ref, w_ref, pci_ref,
     pci = pci_ref[:].astype(f32)
     pcf = pcf_ref[:].astype(f32)
     pco = pco_ref[:].astype(f32)
-    w = w_ref[:].astype(f32)
+    w = w_ref[:].astype(mxu_dt)
     for j in range(chunk):
-        acts = _dot(h, w) + x_ref[j].astype(f32)
+        acts = _dot(h.astype(mxu_dt), w) + x_ref[j].astype(f32)
         i = jax.nn.sigmoid(acts[:, :D] + c * pci)
         f = jax.nn.sigmoid(acts[:, D:2 * D] + c * pcf)
         z = jnp.tanh(acts[:, 2 * D:3 * D])
@@ -331,7 +338,8 @@ def lstm_scan(x_proj, mask, h0, c0, w_state, pci, pcf, pco,
     T_pad = -(-T // C) * C
     x_proj = _pad_time(x_proj, T_pad)
     mask_p = _pad_time(mask, T_pad)
-    kernel = functools.partial(_fwd_only_kernel, dim=D, chunk=C)
+    kernel = functools.partial(_fwd_only_kernel, dim=D, chunk=C,
+                               mxu_dt=_mxu_dtype(x_proj.dtype))
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

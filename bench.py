@@ -624,8 +624,8 @@ def main():
     # (VERDICT r2: is the small-RNN step latency- or compute-bound?)
     # Each batch point is its own fault-isolated row so one oversized
     # shape cannot take down the curve (the round-3 failure mode).
-    def _curve_point(b):
-        r = bench_train(batch=b)
+    def _curve_point(b, dtype=None):
+        r = bench_train(compute_dtype=dtype, batch=b)
         return {k: r[k] for k in
                 ("pipelined_utt_per_s", "wall_s_median",
                  "mfu_vs_197tflops_bf16", "mfu_pipelined") if k in r}
@@ -639,6 +639,12 @@ def main():
     for b in (64, 128, 256):
         train_curve[str(b)] = done(f"train_b{b}", _curve_point, b)
         detail.pop(f"train_b{b}", None)
+    # bf16 at large batch: the MFU operating point (VERDICT r4 #6 —
+    # bf16 had only ever been measured at B=32)
+    for b in (128, 256):
+        train_curve[f"{b}_bf16"] = done(
+            f"train_b{b}_bf16", _curve_point, b, "bfloat16")
+        detail.pop(f"train_b{b}_bf16", None)
     detail["train_batch_curve"] = train_curve
     _flush_partial()
     done("train_breakdown", bench_train_breakdown)

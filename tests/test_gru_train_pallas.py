@@ -151,3 +151,37 @@ def test_bidirectional_fused_matches_xla():
     out_ref = layer.apply(params, x, mask)
     assert_allclose(np.asarray(out_inf), np.asarray(out_ref),
                     rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_mixed_precision_path(inputs):
+    """bf16 activations keep bf16 MXU operands in-kernel (common.
+    mxu_dtype): values and gradients track the f32 kernel within bf16
+    tolerance — the train_step_bf16 operating point's kernel path."""
+    x, g, mask, h0, wss, wsg = inputs
+    bf16 = jnp.bfloat16
+    args16 = (x.astype(bf16), g.astype(bf16), mask, h0.astype(bf16),
+              wss.astype(bf16), wsg.astype(bf16))
+
+    out16 = gru_scan_train(*args16, interpret=True)
+    out32 = gru_scan_train(x, g, mask, h0, wss, wsg, interpret=True)
+    assert out16.dtype == bf16
+    assert_allclose(np.asarray(out16, np.float32), np.asarray(out32),
+                    rtol=0.05, atol=0.05)
+
+    w = jnp.asarray(np.random.RandomState(1).randn(T, B, D),
+                    jnp.float32)
+
+    def loss16(x, g, h0, wss, wsg):
+        out = gru_scan_train(x, g, mask, h0, wss, wsg, interpret=True)
+        return (w * out.astype(jnp.float32)).sum()
+
+    def loss32(x, g, h0, wss, wsg):
+        out = gru_scan_train(x, g, mask, h0, wss, wsg, interpret=True)
+        return (w * out).sum()
+
+    g16 = jax.grad(loss16, argnums=(0, 1, 2, 3, 4))(
+        *(a for i, a in enumerate(args16) if i != 2))
+    g32 = jax.grad(loss32, argnums=(0, 1, 2, 3, 4))(x, g, h0, wss, wsg)
+    for a16, a32 in zip(g16, g32):
+        assert_allclose(np.asarray(a16, np.float32), np.asarray(a32),
+                        rtol=0.15, atol=0.15)
