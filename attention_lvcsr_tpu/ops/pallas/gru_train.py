@@ -162,12 +162,37 @@ def _gru_train(x_proj, gate_proj, mask, h0, w_state, w_gates,
 # (tools/prof_train_kernel.py).
 CHUNK = int(os.environ.get("LVSR_GRU_CHUNK", "8"))
 
+# Streamed (B, D)-equivalent VMEM blocks per time step across the
+# fwd+bwd kernel pair, sized by the wider (bwd) member.  Unidir bwd
+# streams ds+u+r+c+hprev in and dx+dgates(2D) out = 8; bidir doubles
+# the inputs and adds both directions' outputs = 16.  Mosaic
+# double-buffers every grid-streamed block, hence the 2x below.
+_STREAM_FACTOR_UNI = 8
+_STREAM_FACTOR_BD = 16
+_VMEM_CHUNK_BUDGET = 88 * 1024 * 1024   # headroom under the 100MB scoped limit
+
+
+def _fit_chunk(chunk, B, D, itemsize, factor):
+    """Clamp the time-chunk so the kernel's streamed blocks fit VMEM.
+
+    Without this, wide (batch, chunk) combinations — e.g. B=256 with
+    LVSR_GRU_CHUNK=16 at D=250 — exceed the 100MB scoped-VMEM stack
+    limit at Mosaic compile time (112.5M observed).  fwd and bwd call
+    this with the same arguments so their grids tile the same T_pad.
+    """
+    per_step = factor * B * D * itemsize * 2
+    c = max(1, chunk)
+    while c > 1 and c * per_step > _VMEM_CHUNK_BUDGET:
+        c //= 2
+    return c
+
 
 
 def _gru_train_fwd(x_proj, gate_proj, mask, h0, w_state, w_gates,
                    interpret):
     T, B, D = x_proj.shape
-    C = min(CHUNK, T)
+    C = _fit_chunk(min(CHUNK, T), B, D, x_proj.dtype.itemsize,
+                   _STREAM_FACTOR_UNI)
     T_pad = -(-T // C) * C       # padded steps have mask 0: state frozen
     x_proj = _pad_time(x_proj, T_pad)
     gate_proj = _pad_time(gate_proj, T_pad)
@@ -208,7 +233,8 @@ def _gru_train_bwd(interpret, res, dstates):
     states, u, r, c, mask, h0, w_state, w_gates = res
     T_pad, B, D = states.shape   # residuals are already time-padded
     T = mask.shape[0]
-    C = min(CHUNK, T)
+    C = _fit_chunk(min(CHUNK, T), B, D, states.dtype.itemsize,
+                   _STREAM_FACTOR_UNI)
     # h_{t-1} sequence: [h0, states[:-1]]
     hprev = jnp.concatenate([h0[None], states[:-1]], axis=0)
     dstates = _pad_time(dstates, T_pad)
@@ -431,7 +457,8 @@ def _gru_train_bd(xf, gf, mf, xb, gb, mb, h0f, h0b, wssf, wsgf, wssb,
 def _gru_train_bd_fwd(xf, gf, mf, xb, gb, mb, h0f, h0b, wssf, wsgf,
                       wssb, wsgb, interpret):
     T, B, D = xf.shape
-    C = min(CHUNK, T)
+    C = _fit_chunk(min(CHUNK, T), B, D, xf.dtype.itemsize,
+                   _STREAM_FACTOR_BD)
     T_pad = -(-T // C) * C
     xf_p, gf_p, mf_p = (_pad_time(a, T_pad) for a in (xf, gf, mf))
     xb_p, gb_p, mb_p = (_pad_time(a, T_pad) for a in (xb, gb, mb))
@@ -476,7 +503,8 @@ def _gru_train_bd_bwd(interpret, res, cts):
      wssf, wsgf, wssb, wsgb) = res
     T_pad, B, D = sf.shape
     T = mf.shape[0]
-    C = min(CHUNK, T)
+    C = _fit_chunk(min(CHUNK, T), B, D, sf.dtype.itemsize,
+                   _STREAM_FACTOR_BD)
     Tc = T_pad // C
     if dsf is None:
         dsf = jnp.zeros((T, B, D), sf.dtype)
