@@ -185,3 +185,47 @@ def test_bf16_mixed_precision_path(inputs):
     for a16, a32 in zip(g16, g32):
         assert_allclose(np.asarray(a16, np.float32), np.asarray(a32),
                         rtol=0.15, atol=0.15)
+
+
+def test_fit_chunk_vmem_clamp():
+    """The time-chunk clamp keeps streamed VMEM under budget (the
+    B=256 / LVSR_GRU_CHUNK=16 point RESOURCE_EXHAUSTED at 112.5M before
+    it existed) without touching shapes that already fit."""
+    from attention_lvcsr_tpu.ops.pallas import gru_train as gt
+
+    # the observed blowup: bidir, B=256, D=250, f32, chunk 16 -> halved
+    c = gt._fit_chunk(16, 256, 250, 4, gt._STREAM_FACTOR_BD)
+    assert c < 16
+    assert (c * gt._STREAM_FACTOR_BD * 256 * 250 * 4 * 2
+            <= gt._VMEM_CHUNK_BUDGET)
+    # bf16 at the same point fits at chunk 16 (half the bytes)
+    assert gt._fit_chunk(16, 256, 250, 2, gt._STREAM_FACTOR_BD) == 16
+    # small shapes are untouched, and the clamp never returns < 1
+    assert gt._fit_chunk(8, 32, 250, 4, gt._STREAM_FACTOR_BD) == 8
+    assert gt._fit_chunk(1, 4096, 4096, 4, gt._STREAM_FACTOR_BD) == 1
+
+
+def test_gru_train_value_parity_under_clamp(inputs):
+    """A chunk larger than T still produces scan-parity values (the
+    clamp + padding path must not change semantics)."""
+    import os
+    x, g, mask, h0, wss, wsg = inputs
+    prior = os.environ.get("LVSR_GRU_CHUNK")
+    os.environ["LVSR_GRU_CHUNK"] = "16"
+    try:
+        import importlib
+        from attention_lvcsr_tpu.ops.pallas import gru_train as gt
+        importlib.reload(gt)
+        out = gt.gru_scan_train(x, g, mask, h0, wss, wsg,
+                                interpret=True)
+        ref = _xla_gru(x, g, mask, h0, wss, wsg)
+        assert_allclose(np.asarray(out), np.asarray(ref),
+                        rtol=1e-5, atol=1e-5)
+    finally:
+        if prior is None:
+            os.environ.pop("LVSR_GRU_CHUNK", None)
+        else:
+            os.environ["LVSR_GRU_CHUNK"] = prior
+        import importlib
+        from attention_lvcsr_tpu.ops.pallas import gru_train as gt
+        importlib.reload(gt)
