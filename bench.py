@@ -558,7 +558,8 @@ def main():
         and row dict with the highest utt/s among the decode_best*
         candidates (the headline batch is whatever that row ran at)."""
         key, row = None, None
-        for k in ("decode_best", "decode_best_b128"):
+        for k in ("decode_best", "decode_best_b128",
+                  "decode_best_b256"):
             r = detail.get(k)
             if (isinstance(r, dict)
                     and r.get("utt_per_s", 0) > (
